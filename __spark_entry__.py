@@ -1,38 +1,93 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: the full extraction pipeline run over a
+pages table synthesized from the sf0.001 ``documents`` table (HTML
+payloads built in SQL, then detect -> parse -> assemble -> enhance ->
+split -> bibtex).
+
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+the web-scale dedup/similarity/text-analysis/multimodal set); each
+callable takes (spark, sf_dir) and returns a DataFrame.
+
+``oracle_sql()``   — DuckDB duals with IDENTICAL column names/types.
+Pipeline-shaped queries that require the pandas-UDF stages have no SQL
+dual (driver records a rows-only check); their byte-identical
+correctness is enforced by ``python -m pytest -x -q``
+(tests/test_spark_extract.py) against the transliterated oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _synth_pages(spark: SparkSession, sf_dir: str, langs: str = "'en'") -> DataFrame:
+    """documents -> Common-Crawl-shaped pages table (HTML payloads), in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("p2l_documents")
+    return spark.sql(
+        """
+        SELECT concat('https://docs.test/', source, '/', doc_id) AS url,
+               timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0) AS warc_ts,
+               encode(concat(
+                 '<!DOCTYPE html><html><head><title>Document ', doc_id,
+                 '</title></head><body><nav><li>skip</li></nav><main><h1>Document ',
+                 doc_id, '</h1><p>', text,
+                 '</p><h2>References</h2><p>[1] synthetic.</p></main>',
+                 '<footer>f</footer></body></html>'), 'UTF-8') AS html,
+               text,
+               lang
+        FROM p2l_documents
+        """
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship extraction over /root/testdata/sf0.001 (driver smoke)."""
+    from paper2llm_spark.plans.extract import extract_documents
+
+    pages = _synth_pages(spark, "/root/testdata/sf0.001")
+    out = extract_documents(pages, mode="placeholder")
+    return out.select(
+        "url", "markdown", "main_content", "backmatter", "appendix", "title",
+        "page_count", "model", "bibtex_key", "err",
+    )
+
+
+def _extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paper2llm_spark.plans.extract import extract_documents
+
+    pages = _synth_pages(spark, sf_dir)
+    out = extract_documents(pages, mode="placeholder")
+    return out.select(
+        "url", "markdown", "main_content", "backmatter", "title",
+        "page_count", "model", "bibtex_key",
+    )
+
+
+def _registry() -> dict[str, tuple]:
+    from paper2llm_spark.operators import dedup, multimodal, relational, similarity, textstats
+
+    registry: dict[str, tuple] = {}
+    for module in (dedup, similarity, textstats, relational, multimodal):
+        registry.update(module.QUERIES)
+    # pipeline query: pandas-UDF stages -> no SQL dual (rows-only check);
+    # byte-identical correctness is pytest-gated against the oracle library
+    registry["extract_html_pipeline"] = (_extract_pipeline_query, None)
+    return registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }

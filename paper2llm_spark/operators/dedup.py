@@ -1,0 +1,287 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline staples, each with a DuckDB oracle (the driver's
+correctness gate) and a scale note (how the plan behaves at 10^12 docs):
+
+* exact dedup          — hash-groupBy on content digest; one shuffle on a
+  short key, map-side partial agg; survives any scale.
+* MinHash signatures   — per-doc scalar expressions (no shuffle at all).
+* MinHash-LSH pairs    — band -> bucket equi-join; the join key is the
+  band hash, so candidate generation is O(bucket²) not O(n²).
+* n-gram Jaccard       — shared-shingle equi-join + count ratio; the
+  shingle join is the classic inverted-index plan.
+* SimHash              — explode(token x bit) -> two partial aggs;
+  bounded by tokens*64 intermediate rows, all map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    SQL_TOKENS,
+    SQL_TRIGRAMS,
+    portable_hash60,
+    sql_hash60,
+    tokens,
+    word_trigrams,
+)
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 rows per band
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative (min doc_id) per exact-content group + group size."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def _seeded_hash_lambda(seed: int):
+    # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
+    # (incl. one with a default!) as (element, index)
+    suffix = f"#{seed}"
+    return lambda s: portable_hash60(F.concat(s, F.lit(suffix)))
+
+
+def _with_minhash(df: DataFrame) -> DataFrame:
+    tok = tokens(F.col("text"))
+    sh = word_trigrams(tok)
+    out = df.select("doc_id", sh.alias("shingles"))
+    for seed in range(N_MINHASH):
+        out = out.withColumn(
+            f"mh{seed}",
+            F.array_min(F.transform(F.col("shingles"), _seeded_hash_lambda(seed))),
+        )
+    return out.drop("shingles")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_minhash(_docs(spark, sf_dir))
+
+
+def _minhash_sql_columns() -> str:
+    tok = SQL_TOKENS.format(expr="text")
+    tri = SQL_TRIGRAMS.format(tok="tok")
+    cols = [f"list_min(list_transform(tri, s -> {sql_hash60(f_expr)})) AS mh{seed}"
+            for seed, f_expr in
+            ((s, f"s || '#{s}'") for s in range(N_MINHASH))]
+    return (
+        f"WITH t AS (SELECT doc_id, {tok} AS tok FROM documents),\n"
+        f"s AS (SELECT doc_id, {tri} AS tri FROM t)\n"
+        f"SELECT doc_id, {', '.join(cols)} FROM s"
+    )
+
+
+MINHASH_SQL = _minhash_sql_columns()
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing any (band, band-hash) bucket; a<b, distinct.
+
+    Scale path: the self-join keys on the band hash — at 10^12 docs this
+    is a shuffle on short keys with bucket-bounded fanout, never a cross
+    join.
+    """
+    sig = _with_minhash(_docs(spark, sf_dir))
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            ).alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+LSH_PAIRS_SQL = f"""
+WITH sig AS ({MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || ',' || mh1::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2::VARCHAR || ',' || mh3::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(mh4::VARCHAR || ',' || mh5::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(mh6::VARCHAR || ',' || mh7::VARCHAR) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.35
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with word-trigram Jaccard >= threshold via the inverted-index
+    plan: explode shingles, equi-join on shingle, count shared, divide by
+    |A| + |B| - shared."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", word_trigrams(tokens(F.col("text"))).alias("shingles")
+    )
+    sizes = docs.select(
+        "doc_id", F.size(F.array_distinct("shingles")).alias("n_shingles")
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    shared = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_shingles", "nb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(expr="text")} AS tok FROM documents),
+s AS (SELECT doc_id, list_distinct({SQL_TRIGRAMS.format(tok="tok")}) AS shingles FROM t),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM s),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit)
+# ---------------------------------------------------------------------------
+
+def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over distinct tokens (weight 1 per distinct token).
+
+    Plan: explode(token) x explode(bit) -> groupBy(doc, bit) partial sums
+    -> groupBy(doc) bit pack. Both aggregations are map-side combinable.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    tok = tok.withColumn("h", portable_hash60(F.col("token")))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        "h",
+    ).withColumn(
+        # shiftright() in the Python API takes a literal count; the SQL
+        # form accepts a column expression
+        "contrib",
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, list_distinct({SQL_TOKENS.format(expr="text")}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+h AS (SELECT doc_id, {sql_hash60("token")} AS h FROM tok),
+bits AS (
+  SELECT doc_id, bit, CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM h, (SELECT unnest(range(0, 60)) AS bit)
+),
+sums AS (SELECT doc_id, bit, sum(contrib) AS s FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "dedup_lsh_pairs": (lsh_candidate_pairs, LSH_PAIRS_SQL),
+    "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "dedup_simhash60": (simhash60, SIMHASH_SQL),
+}

@@ -1,0 +1,112 @@
+"""Multimodal plumbing — opaque binary columns with typed metadata.
+
+Image/audio/video payloads are ``binary`` columns plus metadata structs;
+decode/feature-extract runs as Arrow-batched ``mapInPandas``. The decode
+step itself is STUBBED (no image/audio libs in this container): the
+``decoder`` seam raises ``NotImplementedError`` unless the deterministic
+fake is selected, but the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signature — is real and tested.
+
+The driver-facing query (``mm_binary_meta``) keeps to what a DuckDB
+oracle can verify: byte length + md5 digest + digest-derived fake
+dimensions, computed identically by the pandas UDF and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MM_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, *, use_fake: bool = True) -> dict:
+    """Decode seam. A real deployment plugs Pillow/ffmpeg here via
+    ``--py-files``; this container has neither, so only the deterministic
+    fake path is available (clearly marked)."""
+    if not use_fake:
+        raise NotImplementedError(
+            "real image decode requires Pillow/libvips, not present in this "
+            "environment; plug a decoder into decode_image()"
+        )
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "n_bytes": len(payload),
+        "digest": digest,
+        # digest-derived fake dimensions (stable, verifiable in SQL)
+        "width": 1 + int(digest[:4], 16) % 1024,
+        "height": 1 + int(digest[4:8], 16) % 1024,
+    }
+
+
+def extract_binary_meta(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> metadata rows via Arrow batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta = decode_image(bytes(payload))
+                rows.append({"doc_id": doc_id, **meta})
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "digest", "width", "height"]
+            )
+
+    return df.mapInPandas(gen, schema=MM_META)
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: documents.text encoded as the opaque binary payload,
+    metadata extracted by the pandas UDF. The DuckDB oracle recomputes the
+    same values from the text column directly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_binary_meta(docs)
+
+
+MM_META_SQL = """
+SELECT doc_id,
+       octet_length(text::BLOB) AS n_bytes,
+       md5(text) AS digest,
+       1 + (('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)::INT AS width,
+       1 + (('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)::INT AS height
+FROM documents
+"""
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index.
+    The decode is the same stub seam; the *plan* (posexplode over a
+    sequence sized from metadata, repartition by (doc_id, frame)) is the
+    real scale shape: frames spread across executors instead of one task
+    per video."""
+    meta = extract_binary_meta(df)
+    frames = meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("n_bytes") / every_n).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.repartition("doc_id", "frame_idx")
+
+
+QUERIES: dict[str, tuple] = {
+    "mm_binary_meta": (mm_binary_meta, MM_META_SQL),
+}

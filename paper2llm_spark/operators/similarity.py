@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* brute-force cosine top-k — the correctness baseline: JVM-side
+  ``zip_with``/``aggregate`` dot products (no Python in the hot path),
+  window top-k. At scale this is the per-query scan you only run on small
+  candidate sets.
+* LSH bucketing (random hyperplanes) — the scale path: each vector maps
+  to an 8-bit bucket via sign(v . h_i); ANN then equi-joins on bucket
+  instead of cross-joining the corpus. The hyperplanes are md5-seeded
+  literals inlined into BOTH engines, so no cross-engine RNG issues.
+* embedding near-dup — cosine >= threshold within an LSH bucket (the
+  dedup flavor of the same plan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+TOPK = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+NEARDUP_COS = 0.60
+
+
+def _hyperplane_signs() -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix [N_PLANES][DIM] (md5-seeded)."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES = _hyperplane_signs()
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    pairs = queries.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "v"))
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn(
+        "cos", _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos", 4).alias("cos4"),
+        )
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv, v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM q CROSS JOIN e WHERE query_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _bucket_expr(vcol):
+    """8-bit LSH bucket from inlined hyperplane literals."""
+    bucket = F.lit(0).cast("bigint")
+    for p, signs in enumerate(HYPERPLANES):
+        signs_arr = F.array(*[F.lit(float(s)) for s in signs])
+        dot = _dot(vcol, signs_arr)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_sql(vexpr: str) -> str:
+    terms = []
+    for p, signs in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(f"{float(s)}" for s in signs) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id -> 8-bit hyperplane bucket (the ANN partition key)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb.select("vec_id", _bucket_expr(F.col("v")).alias("bucket"))
+
+
+LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, {_bucket_sql("v")}::BIGINT AS bucket FROM e
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: same LSH bucket AND cosine >= threshold.
+
+    The bucket equi-join replaces the O(n²) cross join — the plan that
+    still works at 10^9 vectors (bucket sizes bounded; skewed buckets
+    handled by AQE skew join)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = emb.select("vec_id", "v", _bucket_expr(F.col("v")).alias("bucket"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            ).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= NEARDUP_COS).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos4")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 4) AS cos4 FROM pairs WHERE cos >= {NEARDUP_COS}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "ann_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "ann_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
+    "dedup_embedding_cosine": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+}

@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB at sf0.01, compare
+row-count + column names + order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # canonicalize -0.0 and represent with enough digits
+        if v == 0:
+            return "0"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _value_hash(rows: list[dict]) -> str:
+    if not rows:
+        return "EMPTY"
+    cols = sorted(rows[0].keys())
+    lines = sorted("|".join(_canon(r[c]) for c in cols) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "surrogatepass"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return entry_mod._registry()
+
+
+def test_every_query_has_unique_name(registry):
+    assert len(registry) >= 20, f"only {len(registry)} queries registered"
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(entry_mod.oracle_sql().keys()),
+)
+def test_query_matches_duckdb_oracle(name, spark, duck, registry):
+    fn, sql = registry[name]
+    sdf = fn(spark, SF_DIR)
+    spark_rows = [r.asDict(recursive=True) for r in sdf.collect()]
+    duck_df = duck.sql(sql).fetchdf()
+    duck_rows = duck_df.to_dict(orient="records")
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} (spark) != {len(duck_rows)} (duckdb)"
+    )
+    if spark_rows:
+        assert sorted(spark_rows[0].keys()) == sorted(duck_rows[0].keys()), (
+            f"{name}: column names differ"
+        )
+    sh, dh = _value_hash(spark_rows), _value_hash(duck_rows)
+    if sh != dh:
+        s_sorted = sorted(
+            ("|".join(_canon(r[c]) for c in sorted(r.keys())) for r in spark_rows)
+        )
+        d_sorted = sorted(
+            ("|".join(_canon(r[c]) for c in sorted(r.keys())) for r in duck_rows)
+        )
+        diffs = [
+            (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+        ][:5]
+        pytest.fail(f"{name}: value hash mismatch; first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    ok = [r for r in rows if r["err"] is None]
+    assert ok, "entry produced no successfully extracted rows"
+    sample = ok[0]
+    assert sample["markdown"].startswith("#### Page 1\n\n# Document ")
+    assert sample["backmatter"] is not None  # References section split out
+    assert sample["model"] == "html-extract-v1"
+
+
+def test_extract_pipeline_query_rows(spark):
+    df = entry_mod.queries()["extract_html_pipeline"](spark, "/root/testdata/sf0.001")
+    n = df.count()
+    assert n > 0
