@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# replicate documents so the extraction stage runs long enough for a
+# stable throughput/scaling measurement (overhead << work)
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "40"))
 
 BENCH_QUERIES = [
     "rel_q1_pricing_summary",
@@ -57,7 +60,7 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def bench_input_path(sf_dir: str) -> str:
-    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}.parquet"
+    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}_x{REPLICAS}.parquet"
 
 
 def synthesize_pages(spark, sf_dir: str) -> str:
@@ -73,6 +76,10 @@ def synthesize_pages(spark, sf_dir: str) -> str:
     from paper2llm_spark.pdf.writer import layout_markdown_page, write_pdf
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    docs = docs.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
+    ).withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep"))
 
     html_rows = docs.filter(F.col("doc_id") % 5 != 0).selectExpr(
         "concat('https://bench.test/html/', doc_id) AS url",
@@ -115,7 +122,7 @@ def synthesize_pages(spark, sf_dir: str) -> str:
             schema="url string, warc_ts timestamp, html binary, text string, lang string",
         )
     )
-    html_rows.unionByName(pdf_rows).coalesce(8).write.mode("overwrite").parquet(path)
+    html_rows.unionByName(pdf_rows).repartition(32).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -137,6 +144,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
+        # one untimed pass first: expression codegen/JIT is a per-query
+        # one-time cost that would otherwise dominate sub-second queries
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)

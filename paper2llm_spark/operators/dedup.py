@@ -33,7 +33,13 @@ N_BANDS = 4  # 2 rows per band
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the local testdata table is a single parquet file (one row group =
+    # one input split); spread it so per-doc scalar work parallelizes —
+    # at cluster scale the scan already has many splits and this exchange
+    # is round-robin over small text rows
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +71,26 @@ GROUP BY md5(text)
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-_MH_INIT = 1 << 62  # > any 60-bit hash; marks "no shingles" after the fold
+_MH_INIT = 1 << 62  # > any seeded hash; marks "no shingles" after the fold
+
+# Universal hashing: one md5 per shingle, then h_i = (A[i]*h32 + B[i]) % P
+# per seed — integer math instead of 8 digests (classic MinHash family;
+# A[i]*h32 < 2^63 so the arithmetic is exact int64 in both engines).
+MH_PRIME = 4294967311  # smallest prime > 2^32
+_MH_A = [
+    1 + int(__import__("hashlib").md5(f"mhA:{i}".encode()).hexdigest()[:7], 16)
+    for i in range(N_MINHASH)
+]
+_MH_B = [
+    int(__import__("hashlib").md5(f"mhB:{i}".encode()).hexdigest()[:7], 16)
+    for i in range(N_MINHASH)
+]
+
+
+def _hash32(col) -> "F.Column":
+    """32-bit md5-derived base hash (DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 def _minhash_array(shingles) -> "F.Column":
@@ -74,14 +99,15 @@ def _minhash_array(shingles) -> "F.Column":
     A naive per-seed ``array_min(transform(...))`` column gets its shingle
     subexpression inlined by Catalyst's projection collapse, re-running
     tokenize+trigram N_MINHASH times per row; this fold visits each
-    shingle once and computes the 8 seeded hashes inside the lambda
-    (measured 2.6x faster on the signature query)."""
+    shingle once, computes one md5, and derives the 8 seeded values
+    arithmetically."""
 
     def seeded_hashes(s):
+        h32 = _hash32(s)
         return F.array(
             *[
-                portable_hash60(F.concat(s, F.lit(f"#{seed}")))
-                for seed in range(N_MINHASH)
+                (F.lit(_MH_A[i]) * h32 + F.lit(_MH_B[i])) % F.lit(MH_PRIME)
+                for i in range(N_MINHASH)
             ]
         )
 
@@ -96,10 +122,22 @@ def _minhash_array(shingles) -> "F.Column":
     )
 
 
+def _shingled(df: DataFrame) -> DataFrame:
+    """doc_id + word-trigram shingles, via STAGED projections.
+
+    Staging matters: tokens and trigrams must become bound attributes
+    before reuse — higher-order-function lambdas are interpreted (no
+    whole-stage codegen, no common-subexpression elimination), so an
+    inlined tokens expression re-runs the tokenizer per element_at call
+    (measured 60x slower on sf0.1)."""
+    return df.select("doc_id", tokens(F.col("text")).alias("tok")).select(
+        "doc_id", word_trigrams(F.col("tok")).alias("shingles")
+    )
+
+
 def _with_minhash(df: DataFrame) -> DataFrame:
-    sig = df.select(
-        "doc_id",
-        _minhash_array(word_trigrams(tokens(F.col("text")))).alias("sig"),
+    sig = _shingled(df).select(
+        "doc_id", _minhash_array(F.col("shingles")).alias("sig")
     )
     return sig.select(
         "doc_id",
@@ -114,13 +152,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql_columns() -> str:
     tok = SQL_TOKENS.format(expr="text")
     tri = SQL_TRIGRAMS.format(tok="tok")
-    cols = [f"list_min(list_transform(tri, s -> {sql_hash60(f_expr)})) AS mh{seed}"
-            for seed, f_expr in
-            ((s, f"s || '#{s}'") for s in range(N_MINHASH))]
+    cols = [
+        f"list_min(list_transform(hs, h -> ({_MH_A[i]} * h + {_MH_B[i]}) % {MH_PRIME}))"
+        f" AS mh{i}"
+        for i in range(N_MINHASH)
+    ]
     return (
         f"WITH t AS (SELECT doc_id, {tok} AS tok FROM documents),\n"
-        f"s AS (SELECT doc_id, {tri} AS tri FROM t)\n"
-        f"SELECT doc_id, {', '.join(cols)} FROM s"
+        f"s AS (SELECT doc_id, {tri} AS tri FROM t),\n"
+        f"h AS (SELECT doc_id, list_transform(tri,"
+        f" x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM s)\n"
+        f"SELECT doc_id, {', '.join(cols)} FROM h"
     )
 
 
@@ -137,24 +179,30 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one signature pass -> 4 band hashes per row -> posexplode; the
     # union-of-4-selects alternative re-evaluates the signature subtree
     # per band (measured ~9x slower)
-    sig = _docs(spark, sf_dir).select(
-        "doc_id",
-        _minhash_array(word_trigrams(tokens(F.col("text")))).alias("sig"),
+    sig = _shingled(_docs(spark, sf_dir)).select(
+        "doc_id", _minhash_array(F.col("shingles")).alias("sig")
     )
+    # concat_ws SKIPS nulls while DuckDB `||` propagates them, so guard
+    # the no-shingle case explicitly: null signature -> no band rows
+    # (equivalent to DuckDB, where NULL band hashes never satisfy the
+    # equi-join).
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.element_at("sig", 2 * b + 1),
-                            F.element_at("sig", 2 * b + 2),
+            F.when(
+                F.element_at("sig", 1).isNotNull(),
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.element_at("sig", 2 * b + 1),
+                                F.element_at("sig", 2 * b + 2),
+                            )
                         )
-                    )
-                    for b in range(N_BANDS)
-                ]
+                        for b in range(N_BANDS)
+                    ]
+                ),
             )
         ).alias("band", "band_hash"),
     )
@@ -203,9 +251,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with word-trigram Jaccard >= threshold via the inverted-index
     plan: explode shingles, equi-join on shingle, count shared, divide by
     |A| + |B| - shared."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", word_trigrams(tokens(F.col("text"))).alias("shingles")
-    )
+    docs = _shingled(_docs(spark, sf_dir))
     sizes = docs.select(
         "doc_id", F.size(F.array_distinct("shingles")).alias("n_shingles")
     )

@@ -25,7 +25,13 @@ _LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the local testdata table is a single parquet file (one row group =
+    # one input split); spread it so per-doc scalar work parallelizes —
+    # at cluster scale the scan already has many splits and this exchange
+    # is round-robin over small text rows
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -84,8 +90,11 @@ _STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it"]
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = tokens(F.col("text"))
+    # stage tokens into a bound attribute (see dedup._shingled note)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     n_chars = F.length("text").cast("bigint")
     n_words = F.size(toks).cast("bigint")
     stop_in = ", ".join(f"'{s}'" for s in _STOPWORDS)
