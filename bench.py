@@ -31,6 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # replicate documents so the extraction stage runs long enough for a
 # stable throughput/scaling measurement (overhead << work)
 REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "40"))
+# text multiplier: real Common-Crawl pages are tens of KB; the synthetic
+# documents are ~2 KB, so repeat the body to a realistic payload size
+TEXT_X = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_X", "5"))
 
 BENCH_QUERIES = [
     "rel_q1_pricing_summary",
@@ -60,7 +63,7 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def bench_input_path(sf_dir: str) -> str:
-    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}_x{REPLICAS}.parquet"
+    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}_x{REPLICAS}_t{TEXT_X}.parquet"
 
 
 def synthesize_pages(spark, sf_dir: str) -> str:
@@ -79,7 +82,9 @@ def synthesize_pages(spark, sf_dir: str) -> str:
 
     docs = docs.withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
-    ).withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep"))
+    ).withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep")).withColumn(
+        "text", F.concat_ws(" ", F.array_repeat(F.col("text"), TEXT_X))
+    )
 
     html_rows = docs.filter(F.col("doc_id") % 5 != 0).selectExpr(
         "concat('https://bench.test/html/', doc_id) AS url",
@@ -126,10 +131,12 @@ def synthesize_pages(spark, sf_dir: str) -> str:
     return path
 
 
-def run_extraction(spark, input_path: str) -> tuple[float, int]:
+def run_extraction(spark, input_path: str, warmups: int = 0) -> tuple[float, int]:
     from paper2llm_spark.plans.extract import extract_documents
 
     pages = spark.read.parquet(input_path)
+    for _ in range(warmups):
+        extract_documents(pages, mode="placeholder").count()
     t0 = time.monotonic()
     out = extract_documents(pages, mode="placeholder")
     n = out.count()
@@ -181,9 +188,9 @@ def main() -> None:
         points = {}
         for n_cpus in (max(CPUS // 4, 1), CPUS):
             s = get_spark(app_name=f"p2l-bench-{n_cpus}", cpus=n_cpus)
-            # warm-up pass (JVM/JIT), then the measured pass
-            run_extraction(s, input_path)
-            wall, n = run_extraction(s, input_path)
+            # two warm-up passes (JVM/JIT + Python worker pools converge
+            # on the second run), then the measured pass
+            wall, n = run_extraction(s, input_path, warmups=2)
             points[n_cpus] = {"wall_s": round(wall, 3), "docs_per_sec": round(n / wall, 2)}
             s.stop()
         lo, hi = sorted(points)

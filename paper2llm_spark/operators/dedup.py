@@ -312,37 +312,32 @@ WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= {JACCARD_TH
 def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over distinct tokens (weight 1 per distinct token).
 
-    Plan: explode(token) x explode(bit) -> groupBy(doc, bit) partial sums
-    -> groupBy(doc) bit pack. Both aggregations are map-side combinable.
+    Plan: explode(token) -> ONE groupBy(doc) with 60 codegen'd bit-sum
+    aggregates -> pack. The explode(bit) alternative materializes
+    tokens x 60 rows and shuffles twice (measured ~11x slower at sf0.1);
+    this shape keeps the row count at tokens and both the sums and the
+    pack inside whole-stage codegen.
     """
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     )
     tok = docs.select("doc_id", F.explode("toks").alias("token"))
-    tok = tok.withColumn("h", portable_hash60(F.col("token")))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        "h",
-    ).withColumn(
-        # shiftright() in the Python API takes a literal count; the SQL
-        # form accepts a column expression
-        "contrib",
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    tok = tok.select("doc_id", portable_hash60(F.col("token")).alias("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.expr(
-                    "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-                    "ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash")
-        )
+                F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{j}")
+            for j in range(60)
+        ]
     )
+    packed = None
+    for j in range(60):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return sums.select("doc_id", packed.alias("simhash"))
 
 
 SIMHASH_SQL = f"""

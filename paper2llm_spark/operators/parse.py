@@ -129,21 +129,44 @@ def parse_chunks(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema=PAGE_ROW)
 
 
+DEFAULT_GIANT_BYTES = 2_000_000
+
+
 def parse_pages(
     df: DataFrame,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     spread_partitions: int | None = None,
+    giant_bytes: int = DEFAULT_GIANT_BYTES,
 ) -> DataFrame:
-    """Full parse stage: plan -> spread (shuffle #1) -> parse.
+    """Size-gated two-path parse stage.
 
-    The repartition key (url, page_lo) spreads a giant document's chunks
-    across executors; small docs round-robin via hash. This is the
-    explicit skew-control shuffle — without it one 2000-page PDF pins one
-    task for the whole stage.
+    * **Small documents** (payload <= ``giant_bytes``, the overwhelming
+      majority) parse directly — ONE Python pass, no payload shuffle.
+      Shuffling 100 TB of payloads to "balance" work that is already
+      embarrassingly parallel would be the classic self-inflicted
+      bottleneck.
+    * **Giant documents** (heavy tail) go through the page-range planner
+      and an explicit spread repartition on (url, page_lo) so one
+      2000-page PDF doesn't pin a single task — AQE can't see skew
+      inside a UDF, so this split is explicit (SURVEY.md §4).
+
+    The gate is a pure SQL predicate (``octet_length``), so Catalyst
+    pushes it into both branch scans; the giant branch re-reads only the
+    tail. Page indexes stay document-absolute either way, making the
+    reassembly sort identical across paths (tested byte-identical).
     """
-    chunks = plan_chunks(df, chunk_pages)
+    small = df.filter(F.octet_length("html") <= giant_bytes).select(
+        "url",
+        "kind",
+        F.lit(0).alias("page_lo"),
+        F.lit(-1).alias("page_hi"),
+        F.lit(-1).alias("n_pages"),
+        "html",
+    )
+    giant = df.filter(F.octet_length("html") > giant_bytes)
+    chunks = plan_chunks(giant, chunk_pages)
     if spread_partitions:
         chunks = chunks.repartition(spread_partitions, "url", "page_lo")
     else:
         chunks = chunks.repartition("url", "page_lo")
-    return parse_chunks(chunks)
+    return parse_chunks(small).unionByName(parse_chunks(chunks))

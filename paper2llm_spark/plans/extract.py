@@ -45,6 +45,7 @@ def extract_documents(
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     spread_partitions: int | None = None,
     langs: tuple[str, ...] = ("en",),
+    giant_bytes: int | None = None,
 ) -> DataFrame:
     """pages table (url, warc_ts, html, text, lang) -> extracted rows.
 
@@ -52,7 +53,8 @@ def extract_documents(
     and the checkpointed runner below.
     """
     selected = select_extractable(pages, langs=langs)
-    page_rows = parse_pages(selected, chunk_pages, spread_partitions)
+    parse_kwargs = {} if giant_bytes is None else {"giant_bytes": giant_bytes}
+    page_rows = parse_pages(selected, chunk_pages, spread_partitions, **parse_kwargs)
     docs = assemble_documents(page_rows)
 
     # quarantined rows carry err != null and null markdown; the UDFs pass

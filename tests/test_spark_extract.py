@@ -82,7 +82,8 @@ def test_skew_split_byte_identical(spark, fixture_pages_path):
         "url = 'https://fixtures.test/assemble/a6-large'"
     )
     whole = extract_documents(pages, chunk_pages=1000).collect()[0]
-    split4 = extract_documents(pages, chunk_pages=4).collect()[0]
+    # giant_bytes=0 forces every doc through the chunk-split path
+    split4 = extract_documents(pages, chunk_pages=4, giant_bytes=0).collect()[0]
     assert whole["markdown"] == split4["markdown"]
     assert whole["page_count"] == split4["page_count"] == 40
 

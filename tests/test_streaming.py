@@ -1,0 +1,62 @@
+"""Incremental (Structured Streaming) extraction: new files only, byte-
+identical output, no reprocessing across restarts."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from paper2llm_spark.pdf.fixtures import golden_outputs, pages_rows
+from paper2llm_spark.streaming.incremental import incremental_extract
+
+
+def _write_rows(rows, path):
+    table = pa.table(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_incremental_two_batches_no_reprocessing(spark, tmp_path):
+    input_dir = tmp_path / "stream_in"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "stream_out")
+
+    rows = pages_rows()
+    half = len(rows) // 2
+
+    # batch 1: first half of the corpus
+    _write_rows(rows[:half], str(input_dir / "part-000.parquet"))
+    q = incremental_extract(spark, str(input_dir), out_dir)
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(f"{out_dir}/extracted")
+    n_first = first.count()
+    assert n_first > 0
+
+    # batch 2: second half arrives; restart drains only the new file
+    _write_rows(rows[half:], str(input_dir / "part-001.parquet"))
+    q2 = incremental_extract(spark, str(input_dir), out_dir)
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(f"{out_dir}/extracted")
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert len(urls) == len(set(urls)), "a file was reprocessed"
+    assert len(urls) > n_first
+
+    # third start: nothing new, nothing appended
+    q3 = incremental_extract(spark, str(input_dir), out_dir)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/extracted").count() == len(urls)
+
+    # byte-identical against the oracle goldens
+    goldens = golden_outputs()
+    got = {r["url"]: r["markdown"] for r in final.collect()}
+    for url, g in goldens.items():
+        assert got[url] == g["markdown"], url
