@@ -72,10 +72,12 @@ def _extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
-    from paper2llm_spark.operators import dedup, multimodal, relational, similarity, textstats
+    from paper2llm_spark.operators import (
+        dedup, multimodal, refscalars, relational, similarity, textstats,
+    )
 
     registry: dict[str, tuple] = {}
-    for module in (dedup, similarity, textstats, relational, multimodal):
+    for module in (dedup, similarity, textstats, relational, multimodal, refscalars):
         registry.update(module.QUERIES)
     # pipeline query: pandas-UDF stages -> no SQL dual (rows-only check);
     # byte-identical correctness is pytest-gated against the oracle library

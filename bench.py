@@ -31,6 +31,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # replicate documents so the extraction stage runs long enough for a
 # stable throughput/scaling measurement (overhead << work)
 REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "40"))
+# the scaling comparison uses a larger corpus (same input at BOTH levels,
+# per the two-cluster-size rule): at 40 replicas the local[32] pass
+# finishes in ~4 s and per-pass fixed overhead (job scheduling, Arrow
+# setup, stage barriers) floors the measurable speedup
+SCALE_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "160"))
 # text multiplier: real Common-Crawl pages are tens of KB; the synthetic
 # documents are ~2 KB, so repeat the body to a realistic payload size
 TEXT_X = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_X", "5"))
@@ -47,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_simhash60",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "text_lang_id",
     "text_quality_score",
@@ -55,6 +61,7 @@ BENCH_QUERIES = [
     "ref_assemble_pages",
     "ref_word_count",
     "mm_binary_meta",
+    "mm_frame_sample",
 ]
 
 
@@ -62,15 +69,15 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")) or "sf"
 
 
-def bench_input_path(sf_dir: str) -> str:
-    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}_x{REPLICAS}_t{TEXT_X}.parquet"
+def bench_input_path(sf_dir: str, replicas: int = REPLICAS) -> str:
+    return f"/tmp/p2l_bench_pages_{_sf_tag(sf_dir)}_x{replicas}_t{TEXT_X}.parquet"
 
 
-def synthesize_pages(spark, sf_dir: str) -> str:
+def synthesize_pages(spark, sf_dir: str, replicas: int = REPLICAS) -> str:
     """Deterministic pages table from documents (cached; not timed)."""
     import pandas as pd
 
-    path = bench_input_path(sf_dir)
+    path = bench_input_path(sf_dir, replicas)
     if os.path.exists(path):
         return path
 
@@ -81,8 +88,8 @@ def synthesize_pages(spark, sf_dir: str) -> str:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     docs = docs.withColumn(
-        "rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
-    ).withColumn("doc_id", F.col("doc_id") * REPLICAS + F.col("rep")).withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).withColumn("doc_id", F.col("doc_id") * replicas + F.col("rep")).withColumn(
         "text", F.concat_ws(" ", F.array_repeat(F.col("text"), TEXT_X))
     )
 
@@ -127,20 +134,35 @@ def synthesize_pages(spark, sf_dir: str) -> str:
             schema="url string, warc_ts timestamp, html binary, text string, lang string",
         )
     )
-    html_rows.unionByName(pdf_rows).repartition(32).write.mode("overwrite").parquet(path)
+    # 128 partitions = 4 waves at local[32]: a straggler overlaps other
+    # work instead of idling 31 cores at the stage tail
+    html_rows.unionByName(pdf_rows).repartition(128).write.mode("overwrite").parquet(path)
     return path
 
 
-def run_extraction(spark, input_path: str, warmups: int = 0) -> tuple[float, int]:
+def run_extraction(
+    spark, input_path: str, passes: int = 2, n_known: int | None = None
+) -> tuple[float, int]:
+    """Best-of-``passes`` wall time for the FULL pipeline.
+
+    noop write, not count(): count() lets Catalyst prune the
+    enhance/split/bibtex pandas-UDF projections (they don't change row
+    count), which would report a docs/sec that skips half the work.
+    Min-of-N because this sandbox has noisy co-tenants — the minimum is
+    the least-contended (most cluster-representative) measurement.
+    """
     from paper2llm_spark.plans.extract import extract_documents
 
     pages = spark.read.parquet(input_path)
-    for _ in range(warmups):
-        extract_documents(pages, mode="placeholder").count()
-    t0 = time.monotonic()
     out = extract_documents(pages, mode="placeholder")
-    n = out.count()
-    wall = time.monotonic() - t0
+    # output row count (count() prunes the UDFs; skipped when known)
+    n = n_known if n_known is not None else out.count()
+    out.write.format("noop").mode("overwrite").save()  # warm: JIT + Python workers
+    wall = float("inf")
+    for _ in range(passes):
+        t0 = time.monotonic()
+        out.write.format("noop").mode("overwrite").save()
+        wall = min(wall, time.monotonic() - t0)
     return wall, n
 
 
@@ -152,11 +174,15 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in BENCH_QUERIES:
         fn = registry[name]
         # one untimed pass first: expression codegen/JIT is a per-query
-        # one-time cost that would otherwise dominate sub-second queries
+        # one-time cost that would otherwise dominate sub-second queries;
+        # then min-of-2 timed passes (noisy co-tenant machine)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -184,19 +210,32 @@ def main() -> None:
     }
 
     if scaling:
+        scale_input = synthesize_pages(spark, SF_DIR, SCALE_REPLICAS)
         spark.stop()
-        points = {}
-        for n_cpus in (max(CPUS // 4, 1), CPUS):
-            s = get_spark(app_name=f"p2l-bench-{n_cpus}", cpus=n_cpus)
-            # two warm-up passes (JVM/JIT + Python worker pools converge
-            # on the second run), then the measured pass
-            wall, n = run_extraction(s, input_path, warmups=2)
-            points[n_cpus] = {"wall_s": round(wall, 3), "docs_per_sec": round(n / wall, 2)}
-            s.stop()
+        # this sandbox has noisy co-tenants: INTERLEAVE the two levels
+        # across rounds (adjacent runs see similar machine load) and take
+        # the best round per level — sequential best-of-N still mixes
+        # loaded and idle minutes and produced efficiency readings from
+        # 0.08 to 1.0 on identical code
+        levels = (max(CPUS // 4, 1), CPUS)
+        best: dict[int, float] = {n: float("inf") for n in levels}
+        n_docs = None
+        for _ in range(3):
+            for n_cpus in levels:
+                s = get_spark(app_name=f"p2l-bench-{n_cpus}", cpus=n_cpus)
+                wall, n_docs = run_extraction(
+                    s, scale_input, passes=1, n_known=n_docs
+                )
+                best[n_cpus] = min(best[n_cpus], wall)
+                s.stop()
+        points = {
+            n: {"wall_s": round(w, 3), "docs_per_sec": round(n_docs / w, 2)}
+            for n, w in best.items()
+        }
         lo, hi = sorted(points)
         eff = points[hi]["docs_per_sec"] / points[lo]["docs_per_sec"] / (hi / lo)
         result["scaling"] = {
-            "n_low": lo, "n_high": hi,
+            "n_low": lo, "n_high": hi, "docs": n_docs,
             "throughput_low": points[lo]["docs_per_sec"],
             "throughput_high": points[hi]["docs_per_sec"],
             "efficiency": round(eff, 3),
@@ -223,7 +262,9 @@ def _write_bench_md(result: dict) -> None:
     ]
     if s:
         lines += [
-            f"- scaling: local[{s['n_low']}] -> {s['throughput_low']} docs/sec; "
+            f"- scaling ({s.get('docs', '?')}-doc corpus, same input at both "
+            f"levels, best of 3 interleaved rounds): "
+            f"local[{s['n_low']}] -> {s['throughput_low']} docs/sec; "
             f"local[{s['n_high']}] -> {s['throughput_high']} docs/sec; "
             f"efficiency = (T_high/T_low)/{s['n_high'] // s['n_low']} = "
             f"**{s['efficiency']}** (target >= 0.8, BASELINE.json)",

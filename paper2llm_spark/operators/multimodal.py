@@ -107,6 +107,56 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     return frames.repartition("doc_id", "frame_idx")
 
 
+def resize_image(payload: bytes, width: int, height: int, *, use_fake: bool = True) -> bytes:
+    """Resize seam (same stub contract as :func:`decode_image`): a real
+    deployment plugs Pillow here; the deterministic fake returns a
+    truncated/padded payload so the Spark-side plumbing stays testable."""
+    if not use_fake:
+        raise NotImplementedError(
+            "real image resize requires Pillow, not present in this "
+            "environment; plug a resizer into resize_image()"
+        )
+    target = max(width * height // 64, 1)
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def feature_vector(payload: bytes, dim: int = 16, *, use_fake: bool = True) -> list[float]:
+    """Feature-extract seam: md5-derived deterministic fake embedding
+    (real deployment: a vision encoder shipped via --py-files)."""
+    if not use_fake:
+        raise NotImplementedError(
+            "real feature extraction requires a vision model; plug an "
+            "encoder into feature_vector()"
+        )
+    out = []
+    seed = payload[:64]
+    for i in range(dim):
+        h = hashlib.md5(seed + i.to_bytes(2, "big")).hexdigest()
+        out.append(round(int(h[:6], 16) / float(1 << 24), 6))
+    return out
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query over the frame-sampling plan: one row per sampled
+    frame index, frame count derived from payload size (every_n=10 bytes
+    stands in for a frame period). Exercises the real mapInPandas
+    metadata pass + explode + repartition plumbing; the DuckDB oracle
+    recomputes frame indices from octet_length."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return frame_sample_plan(docs, every_n=10).select(
+        "doc_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id, unnest(range(0, greatest(octet_length(text::BLOB) // 10, 1))) AS frame_idx
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "mm_binary_meta": (mm_binary_meta, MM_META_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
 }

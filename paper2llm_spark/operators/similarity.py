@@ -195,8 +195,119 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos4 FROM pairs WHERE cos >= {NEARDUP_COS}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + within-cell search
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+
+
+def _centroids() -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids [N_CELLS][DIM]: md5-seeded
+    values in [-1, 1) (distinct seed space from the LSH hyperplanes)."""
+    cells = []
+    for c in range(N_CELLS):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()
+            row.append(round(int(h[:4], 16) / 32768.0 - 1.0, 6))
+        cells.append(row)
+    return cells
+
+
+CENTROIDS = _centroids()
+
+
+def _cell_expr(vcol):
+    """argmax_i dot(v, centroid_i), 1-indexed, first-max-wins tie-break
+    (identical in DuckDB list_position)."""
+    dots = F.array(
+        *[
+            F.round(_dot(vcol, F.array(*[F.lit(x) for x in c])), 6)
+            for c in CENTROIDS
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("bigint")
+
+
+def _cell_sql(vexpr: str) -> str:
+    dot_terms = ", ".join(
+        f"round(list_dot_product({vexpr}, [{', '.join(str(x) for x in c)}]), 6)"
+        for c in CENTROIDS
+    )
+    return f"list_position([{dot_terms}], list_max([{dot_terms}]))"
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest md5-seeded centroid
+    (the coarse quantizer), then run exact cosine top-k ONLY within the
+    query's cell (nprobe=1).
+
+    Scale path vs brute force: the corpus is partitioned by cell, so each
+    query scans |corpus| / N_CELLS instead of |corpus|; at 10^9 vectors
+    the cell assignment is one map-side pass and the search is an
+    equi-join on cell — shuffle keys are small ints, and a trained
+    quantizer (k-means) drops in by replacing CENTROIDS. Dots are rounded
+    to 6dp before the argmax so the cell id is float-order-stable across
+    engines."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = emb.select(
+        "vec_id", "v", _norm(F.col("v")).alias("nv"),
+        _cell_expr(F.col("v")).alias("cell"),
+    )
+    queries = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = queries.join(
+        cells, (F.col("qcell") == F.col("cell"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).withColumn(
+        "cos", _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos", 4).alias("cos4"),
+        )
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (SELECT vec_id, v, {_cell_sql("v")} AS cell FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+      FROM cells WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM q JOIN cells c ON qcell = c.cell AND query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "ann_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
+    "ann_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "dedup_embedding_cosine": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
 }

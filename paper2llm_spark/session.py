@@ -23,7 +23,11 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # 3x task slots: stragglers overlap instead of serializing the
+        # stage tail (one slow partition in a single-wave stage idles
+        # every other core); AQE coalescing merges the excess when
+        # partitions come out small
+        shuffle_partitions = max(cpus * 3, 24)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

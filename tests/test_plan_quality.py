@@ -1,0 +1,108 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+Correctness tests prove the output; these prove the PLAN stays the shape
+that survives a 100x scale-up: filters reach the parquet scan, unused
+columns are pruned before the Python stages, the small dimension side is
+broadcast, and aggregations keep their map-side partial phase. A refactor
+that silently turns the broadcast into a sort-merge join or drags the
+``text`` column through the PDF parse fails here, not in production.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from paper2llm_spark.plans.extract import extract_documents
+from paper2llm_spark.sources.pages import select_extractable
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "pages.parquet")
+    rows = [
+        (f"https://t/{i}", None, b"<html><body><p>hi</p></body></html>",
+         "unused text column", "en" if i % 2 else "fr")
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_lang_filter_pushed_to_scan(spark, pages_path):
+    df = select_extractable(spark.read.parquet(pages_path), langs=("en",))
+    plan = _physical(df)
+    assert "PushedFilters:" in plan
+    # the lang predicate must appear inside the pushed-filter list
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "lang" in pushed, pushed
+
+
+def test_text_column_pruned_from_extract_scan(spark, pages_path):
+    """The pipeline never touches ``text`` (payloads live in ``html``), so
+    the parquet reader must not materialize it (north_rule: a scan that
+    reads all columns for a projection is wrong)."""
+    out = extract_documents(spark.read.parquet(pages_path))
+    plan = _physical(out)
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "text" not in line, line
+
+
+def test_q3_broadcasts_customer(spark):
+    from paper2llm_spark.operators.relational import q3_top_orders
+
+    plan = _physical(q3_top_orders(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle_with_partial_agg(spark):
+    """hash-groupBy dedup: map-side partial agg + ONE exchange on the
+    digest key (the input repartition is round-robin spreading of a
+    single-file local scan, excluded by counting only hash exchanges)."""
+    from paper2llm_spark.operators.dedup import dedup_exact
+
+    plan = _physical(dedup_exact(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("hashpartitioning") <= 2  # one logical shuffle (+AQE reuse)
+
+
+def test_assemble_is_single_shuffle(spark, pages_path):
+    """scan -> parse -> groupBy(url): the only hash exchange in the
+    HTML-only pipeline is the reassembly on url (shuffle #2 of SURVEY
+    §3.4); everything after is narrow."""
+    out = extract_documents(spark.read.parquet(pages_path))
+    plan = _physical(out)
+    implicit = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "ENSURE_REQUIREMENTS" in line
+    ]
+    assert len(implicit) == 1 and "hashpartitioning(url" in implicit[0], implicit
+    # the only other exchange is the explicit giant-PDF spread (skew control)
+    explicit = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "ENSURE_REQUIREMENTS" not in line
+    ]
+    assert all("page_lo" in line for line in explicit), explicit
+
+
+def test_ivf_join_is_equi_join_not_cartesian(spark):
+    from paper2llm_spark.operators.similarity import ivf_topk
+
+    plan = _physical(ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pairs_equi_join_on_band(spark):
+    from paper2llm_spark.operators.dedup import lsh_candidate_pairs
+
+    plan = _physical(lsh_candidate_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
