@@ -321,11 +321,6 @@ def main() -> None:
     if scaling:
         scale_input = synthesize_pages(spark, SF_DIR, SCALE_REPLICAS)
         spark.stop()
-        # Two "cluster sizes" = two CPU-pinned subprocesses (taskset).
-        # Interleave levels across rounds (adjacent runs see similar
-        # co-tenant load) and keep the best round per level; each worker
-        # additionally takes min-of-2 in-process passes (pass 1 warms
-        # JIT + Python workers).
         lo, hi = max(CPUS // 4, 1), CPUS
         # PAIRED rounds: each round measures low then high back-to-back,
         # so both see the same machine state (co-tenant bursts last

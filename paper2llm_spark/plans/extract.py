@@ -29,7 +29,7 @@ from ..operators.assemble import assemble_documents
 from ..operators.enhance import bibtex_udf, enhanced_markdown, split_sections_udf
 from ..operators.parse import DEFAULT_CHUNK_PAGES, parse_pages
 from ..schema import CHECKPOINT
-from ..sources.pages import read_pages, select_extractable
+from ..sources.pages import read_pages, select_extractable, with_bucket
 
 OUTPUT_COLUMNS = [
     "url", "markdown", "main_content", "backmatter", "appendix", "title",
@@ -152,9 +152,14 @@ class CheckpointedExtractJob:
         run_id = uuid.uuid4().hex[:12]
         t0 = time.monotonic()
         pages = read_pages(self.spark, self.input_path, self.fmt)
-        pages = pages.withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
-        )
+        if "bucket" not in pages.columns:
+            # unbucketed input: compute the logical bucket on the fly —
+            # each commit group then re-scans the table (fine locally /
+            # for small backfills). Bucketed layouts (sources.pages
+            # .with_bucket at write time) skip this: the group filter
+            # hits the physical partition column and PRUNES the scan, so
+            # the whole run reads the table exactly once in total.
+            pages = with_bucket(pages, self.n_buckets)
 
         done = self.completed_buckets()
         groups: list[list[int]] = [

@@ -21,6 +21,24 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     return spark.read.parquet(path)
 
 
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Attach the engine's logical bucket column: ``pmod(xxhash64(url), n)``.
+
+    Producers should write the pages table physically partitioned by this
+    column (``.write.partitionBy("bucket")`` / Iceberg partition spec on
+    it). The checkpointed runner filters commit groups on ``bucket``; when
+    the column is a physical partition, that filter partition-prunes the
+    scan, so each commit group reads ONLY its buckets — at 100 TB the
+    difference between ``n_groups`` full scans and one full scan total.
+    The definition must stay in lockstep with the runner's fallback
+    recompute (plans/extract.py), which is why it lives here as the single
+    source of truth.
+    """
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
 def payload_kind(html_col: Column) -> Column:
     """``'pdf' | 'html' | 'empty' | 'other'`` from magic bytes — the SQL
     twin of ``oracle.urls.detect_payload`` (validatePdf F1 /

@@ -65,3 +65,39 @@ def test_lineage_rows_written(spark, fixture_pages_path, tmp_path):
     assert total_docs == n_out
     assert all(r["bytes_in"] > 0 for r in rows)
     assert any(r["bytes_out"] > 0 for r in rows)
+
+
+def test_bucketed_input_layout_prunes_and_matches(spark, fixture_pages_path, tmp_path):
+    """A pages table physically partitioned by the logical bucket column
+    (sources.pages.with_bucket at write time) must (a) partition-prune the
+    per-commit-group scan — at 100 TB that is one total scan instead of
+    n_groups full scans — and (b) produce output identical to the
+    unbucketed path."""
+    from pyspark.sql import functions as F
+
+    from paper2llm_spark.sources.pages import with_bucket
+
+    n_buckets = 4
+    bucketed_path = str(tmp_path / "pages_bucketed")
+    pages = spark.read.parquet(fixture_pages_path)
+    with_bucket(pages, n_buckets).write.partitionBy("bucket").parquet(bucketed_path)
+
+    # (a) the group filter reaches the scan as a partition filter
+    scan = spark.read.parquet(bucketed_path).filter(F.col("bucket").isin([0, 2]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+
+    # (b) end-to-end output matches the goldens byte-for-byte
+    out_dir = str(tmp_path / "job_bucketed")
+    job = CheckpointedExtractJob(
+        spark, bucketed_path, out_dir, n_buckets=n_buckets, n_groups=2
+    )
+    job.run()
+    assert job.completed_buckets() == set(range(n_buckets))
+    final = spark.read.parquet(job.out_path)
+    goldens = golden_outputs()
+    got = {r["url"]: r["markdown"] for r in final.collect()}
+    for url, g in goldens.items():
+        assert got[url] == g["markdown"], url
