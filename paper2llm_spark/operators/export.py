@@ -123,6 +123,39 @@ def content_with_bibtex(
     )
 
 
+# S7 download suffixes: `${base}_main.md` / `_appendix` / `_backmatter`
+# (useCopyDownload.ts:306,321,336) and `${base}${sectionName}.md` (:395)
+SECTION_SUFFIX = {
+    "full": "", "main": "_main", "appendix": "_appendix",
+    "backmatter": "_backmatter",
+}
+
+
+def export_file_name(source_name: Column, section: str = "full") -> Column:
+    """S7 download naming: base = source filename minus its extension
+    (``sourceFilename.replace(/\\.[^/.]+$/, "")``, useCopyDownload.ts:74 —
+    note the JS class excludes ``/`` so a dotted directory never loses a
+    path segment), then the per-section suffix + ``.md``."""
+    base = F.regexp_replace(source_name, r"\.[^/.]+$", "")
+    return F.concat(base, F.lit(SECTION_SUFFIX[section] + ".md"))
+
+
+def format_file_size(bytes_col: Column) -> Column:
+    """O4 ``formatFileSize`` (format-utils.ts:18-26): ``{n} B`` under
+    1024, else one-decimal KB under 1 MiB, else one-decimal MB. The
+    branch tests the RAW byte count, so 1048530 bytes renders as
+    ``1024.0 KB`` — quirk preserved. (``formatTimestamp`` is
+    locale-dependent display and stays unported.)"""
+    kb = F.round(bytes_col / F.lit(1024.0), 1)
+    mb = F.round(bytes_col / F.lit(1048576.0), 1)
+    return (
+        F.when(bytes_col < 1024,
+               F.concat(bytes_col.cast("long").cast("string"), F.lit(" B")))
+        .when(bytes_col < 1048576, F.concat(kb.cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(mb.cast("string"), F.lit(" MB")))
+    )
+
+
 def with_export_columns(extracted: DataFrame) -> DataFrame:
     """Attach the S7-download column set to the output table."""
     return (

@@ -5,8 +5,9 @@ Each query synthesizes its input column deterministically from the
 applies the Spark Column twin from ``functions.refcols`` with a DuckDB
 dual. Covered here: T1 extractTitle, B1 extractYearFromDate, B3
 generateBibTeXKey, V2 extractDescriptionFromTags, E4 extractImageContext,
-O3 calculateImageMetrics — the rows of the operator inventory that are
-SQL-expressible but not already exercised by the pipeline-level queries.
+O3 calculateImageMetrics, S7 download naming, O4 formatFileSize — the
+rows of the operator inventory that are SQL-expressible but not already
+exercised by the pipeline-level queries.
 
 Scale note: all of these are per-row projections (no shuffle, whole plan
 map-side); at 10^12 docs the cost is a single scan + codegen'd
@@ -318,6 +319,75 @@ FROM c
 """
 
 
+def export_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 download naming (useCopyDownload.ts:74,306,321,336,395) over
+    repo-style filenames synthesized from doc_id."""
+    from .export import export_file_name
+
+    docs = _docs(spark, sf_dir)
+    fname = F.concat(
+        F.lit("arxiv-2401."),
+        F.lpad(F.col("doc_id").cast("string"), 5, "0"),
+        F.lit(".pdf"),
+    )
+    return docs.select(
+        "doc_id",
+        export_file_name(fname, "full").alias("name_full"),
+        export_file_name(fname, "main").alias("name_main"),
+        export_file_name(fname, "appendix").alias("name_appendix"),
+        export_file_name(fname, "backmatter").alias("name_backmatter"),
+    )
+
+
+EXPORT_NAME_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         regexp_replace('arxiv-2401.' || lpad(doc_id::VARCHAR, 5, '0') || '.pdf',
+                        '\.[^/.]+$', '') AS base
+  FROM documents
+)
+SELECT doc_id,
+       base || '.md' AS name_full,
+       base || '_main.md' AS name_main,
+       base || '_appendix.md' AS name_appendix,
+       base || '_backmatter.md' AS name_backmatter
+FROM f
+"""
+
+
+def format_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 formatFileSize (format-utils.ts:18-26) over byte counts
+    synthesized to hit all three branches (B / KB / MB) at any sf."""
+    from .export import format_file_size
+
+    docs = _docs(spark, sf_dir)
+    nbytes = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 1000)
+        .when(F.col("doc_id") % 3 == 1, (F.col("doc_id") % 1000) * 1024 + 37)
+        .otherwise((F.col("doc_id") % 9) * 1048576 + 123456)
+    ).cast("long")
+    return docs.select(
+        "doc_id", nbytes.alias("nbytes"),
+        format_file_size(nbytes).alias("size_label"),
+    )
+
+
+FORMAT_SIZE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN doc_id % 1000
+               WHEN doc_id % 3 = 1 THEN (doc_id % 1000) * 1024 + 37
+               ELSE (doc_id % 9) * 1048576 + 123456 END)::BIGINT AS nbytes
+  FROM documents
+)
+SELECT doc_id, nbytes,
+       CASE WHEN nbytes < 1024 THEN nbytes::VARCHAR || ' B'
+            WHEN nbytes < 1048576 THEN round(nbytes / 1024.0, 1)::VARCHAR || ' KB'
+            ELSE round(nbytes / 1048576.0, 1)::VARCHAR || ' MB' END AS size_label
+FROM b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ref_title_extract": (title_extract, TITLE_EXTRACT_SQL),
     "ref_year_extract": (year_extract, YEAR_EXTRACT_SQL),
@@ -325,4 +395,6 @@ QUERIES: dict[str, tuple] = {
     "ref_tag_extract": (tag_extract, TAG_EXTRACT_SQL),
     "ref_image_context": (image_context, IMAGE_CONTEXT_SQL),
     "ref_image_metrics": (image_metrics, IMAGE_METRICS_SQL),
+    "ref_export_name": (export_name, EXPORT_NAME_SQL),
+    "ref_format_size": (format_size, FORMAT_SIZE_SQL),
 }
