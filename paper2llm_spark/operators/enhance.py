@@ -154,3 +154,124 @@ def split_sections_udf(col: Column) -> Column:
 
 def bibtex_udf(col: Column) -> Column:
     return bibtex_udf_fn()(col)
+
+
+# ---------------------------------------------------------------------------
+# combined single-pass stage (enhance -> split -> bibtex in ONE Arrow hop)
+# ---------------------------------------------------------------------------
+#
+# Chaining the three UDFs puts the multi-MB enhanced-markdown string
+# across the Python<->JVM Arrow boundary three times (out of the enhance
+# runner, back into the split+bibtex runner, results out again). The
+# combined UDF ships the markdown in once and one result struct out —
+# the dominant per-doc payload crosses exactly twice in total. The
+# separate UDFs above stay for operator-level tests; this struct is what
+# the pipeline plan uses.
+
+def _convert_batch(markdown, descriptions_fn):
+    rows = []
+    for md, desc in zip(markdown, descriptions_fn):
+        if md is None:
+            rows.append({
+                "markdown": None, "main_content": None, "backmatter": None,
+                "appendix": None, "title": None, "bibtex": None,
+                "bibtex_key": None, "bibtex_formatted": None,
+                "title_validation": None,
+            })
+            continue
+        enhanced = desc(md)
+        s = split_markdown_content(enhanced)
+        r = generate_bibtex_from_markdown(enhanced, now_year=PINNED_YEAR)
+        v = r["title_validation"]
+        rows.append({
+            "markdown": enhanced,
+            "main_content": s["main_content"],
+            "backmatter": s["backmatter"],
+            "appendix": s["appendix"],
+            "title": s["title"],
+            "bibtex": r["bibtex"],
+            "bibtex_key": r["entry"]["key"],
+            "bibtex_formatted": r["formatted_entry"],
+            "title_validation": {
+                "matches": v["matches"],
+                "original_title": v["original_title"],
+                "bibtex_title": v["bibtex_title"],
+                "normalized_original": v["normalized_original"],
+                "normalized_bibtex": v["normalized_bibtex"],
+            },
+        })
+    return pd.DataFrame(rows, columns=[
+        "markdown", "main_content", "backmatter", "appendix", "title",
+        "bibtex", "bibtex_key", "bibtex_formatted", "title_validation",
+    ])
+
+
+def _convert_placeholder(markdown: pd.Series, has_images: pd.Series) -> pd.DataFrame:
+    def enhancer(has):
+        def fn(md):
+            if not has:
+                return md
+            return enhance_image_references(
+                md, {}, replace_images_with_placeholder=True
+            )
+        return fn
+
+    return _convert_batch(markdown, (enhancer(h) for h in has_images))
+
+
+def _convert_descriptions(markdown: pd.Series, pages_light: pd.Series) -> pd.DataFrame:
+    def enhancer(pages):
+        def fn(md):
+            descriptions: dict[str, str] = {}
+            for page in (pages if pages is not None else []):
+                page_md = page["page_markdown"]
+                ids = page["image_ids"]
+                for image_id in (ids if ids is not None else []):
+                    context = extract_image_context(page_md, image_id)
+                    descriptions[image_id] = deterministic_describe(image_id, context)
+            if not descriptions:
+                return md
+            return enhance_image_references(md, descriptions)
+        return fn
+
+    return _convert_batch(markdown, (enhancer(p) for p in pages_light))
+
+
+@functools.lru_cache(maxsize=None)
+def _convert_result_type():
+    from pyspark.sql import types as T
+
+    from ..schema import TITLE_VALIDATION
+
+    return T.StructType(
+        [
+            T.StructField("markdown", T.StringType()),
+            T.StructField("main_content", T.StringType()),
+            T.StructField("backmatter", T.StringType()),
+            T.StructField("appendix", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("bibtex", T.StringType()),
+            T.StructField("bibtex_key", T.StringType()),
+            T.StructField("bibtex_formatted", T.StringType()),
+            T.StructField("title_validation", TITLE_VALIDATION),
+        ]
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def convert_placeholder_udf():
+    return pandas_udf(_convert_placeholder, _convert_result_type())
+
+
+@functools.lru_cache(maxsize=None)
+def convert_descriptions_udf():
+    return pandas_udf(_convert_descriptions, _convert_result_type())
+
+
+def convert_udf(mode: str) -> Column:
+    """Single-hop enhance+split+bibtex result struct for the pipeline."""
+    if mode == "placeholder":
+        return convert_placeholder_udf()(F.col("markdown"), F.col("has_images"))
+    if mode == "descriptions":
+        return convert_descriptions_udf()(F.col("markdown"), F.col("pages_light"))
+    raise ValueError(f"unknown enhancement mode {mode!r}")

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.assemble import assemble_documents
-from ..operators.enhance import bibtex_udf, enhanced_markdown, split_sections_udf
+from ..operators.enhance import convert_udf
 from ..operators.parse import DEFAULT_CHUNK_PAGES, parse_pages
 from ..schema import CHECKPOINT
 from ..sources.pages import read_pages, select_extractable, with_bucket
@@ -57,26 +57,27 @@ def extract_documents(
     page_rows = parse_pages(selected, chunk_pages, spread_partitions, **parse_kwargs)
     docs = assemble_documents(page_rows)
 
-    # quarantined rows carry err != null and null markdown; the UDFs pass
-    # None through, so one linear plan serves both outcomes.
-    docs = docs.withColumn("enhanced", enhanced_markdown(mode))
-    docs = docs.withColumn("sections", split_sections_udf(F.col("enhanced")))
-    docs = docs.withColumn("bib", bibtex_udf(F.col("enhanced")))
+    # quarantined rows carry err != null and null markdown; the UDF passes
+    # None through, so one linear plan serves both outcomes. The combined
+    # convert stage runs enhance -> split -> bibtex in ONE Arrow hop: the
+    # multi-MB markdown crosses Python<->JVM twice total instead of the
+    # 3+ crossings three chained UDFs would cost (operators/enhance.py).
+    docs = docs.withColumn("res", convert_udf(mode))
 
     return docs.select(
         "url",
-        F.col("enhanced").alias("markdown"),
-        F.col("sections.main_content").alias("main_content"),
-        F.col("sections.backmatter").alias("backmatter"),
-        F.col("sections.appendix").alias("appendix"),
-        F.col("sections.title").alias("title"),
+        F.col("res.markdown").alias("markdown"),
+        F.col("res.main_content").alias("main_content"),
+        F.col("res.backmatter").alias("backmatter"),
+        F.col("res.appendix").alias("appendix"),
+        F.col("res.title").alias("title"),
         "page_count",
         "image_references",
         "model",
-        F.col("bib.bibtex").alias("bibtex"),
-        F.col("bib.bibtex_key").alias("bibtex_key"),
-        F.col("bib.bibtex_formatted").alias("bibtex_formatted"),
-        F.col("bib.title_validation").alias("title_validation"),
+        F.col("res.bibtex").alias("bibtex"),
+        F.col("res.bibtex_key").alias("bibtex_key"),
+        F.col("res.bibtex_formatted").alias("bibtex_formatted"),
+        F.col("res.title_validation").alias("title_validation"),
         "err",
         "bytes_in",
         "parse_partition",
