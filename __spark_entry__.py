@@ -71,6 +71,20 @@ def _extract_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_pipeline_desc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptions branch (processImages=true with the deterministic
+    describe substitute, SURVEY.md §2.6) — rows-only driver check; bytes
+    are pytest-gated like the placeholder branch."""
+    from paper2llm_spark.plans.extract import extract_documents
+
+    pages = _synth_pages(spark, sf_dir)
+    out = extract_documents(pages, mode="descriptions")
+    return out.select(
+        "url", "markdown", "main_content", "backmatter", "title",
+        "page_count", "model", "bibtex_key",
+    )
+
+
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         dedup, multimodal, refscalars, relational, similarity, textstats,
@@ -82,6 +96,7 @@ def _registry() -> dict[str, tuple]:
     # pipeline query: pandas-UDF stages -> no SQL dual (rows-only check);
     # byte-identical correctness is pytest-gated against the oracle library
     registry["extract_html_pipeline"] = (_extract_pipeline_query, None)
+    registry["extract_html_pipeline_desc"] = (_extract_pipeline_desc_query, None)
     return registry
 
 
