@@ -160,8 +160,67 @@ def synthesize_pages(spark, sf_dir: str, replicas: int = REPLICAS) -> str:
     return path
 
 
+def synthesize_skew_pages(spark, sf_dir: str, replicas: int = 4) -> str:
+    """Heavy-tail corpus: 2% of documents are 120-page PDFs (the skewed
+    giants the north_star's page-range split exists for), rest HTML."""
+    import pandas as pd
+
+    path = f"/tmp/p2l_bench_skew_{_sf_tag(sf_dir)}_x{replicas}.parquet"
+    if os.path.exists(path):
+        return path
+
+    from pyspark.sql import functions as F
+
+    from paper2llm_spark.pdf.writer import layout_markdown_page, write_pdf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).withColumn("doc_id", F.col("doc_id") * replicas + F.col("rep"))
+
+    html_rows = docs.filter(F.col("doc_id") % 50 != 0).selectExpr(
+        "concat('https://bench.test/skew/html/', doc_id) AS url",
+        "CAST(NULL AS timestamp) AS warc_ts",
+        """encode(concat('<html><body><main><h1>D', doc_id, '</h1><p>', text,
+             '</p></main></body></html>'), 'UTF-8') AS html""",
+        "text", "lang",
+    )
+
+    def make_giants(batches):
+        for b in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                words = (text + " ").split() * 3
+                body = " ".join(words)
+                pages = [f"# Giant {doc_id}\n\n{body}"] + [
+                    f"## Section {i}\n\n{body}" for i in range(1, 120)
+                ]
+                pdf = write_pdf([layout_markdown_page(p) for p in pages])
+                out["url"].append(f"https://bench.test/skew/pdf/{doc_id}")
+                out["warc_ts"].append(None)
+                out["html"].append(pdf)
+                out["text"].append("")
+                out["lang"].append(lang)
+            yield pd.DataFrame(out)
+
+    giant_rows = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text", "lang")
+        .repartition(32)
+        .mapInPandas(
+            make_giants,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
+    html_rows.unionByName(giant_rows).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
 def run_extraction(
-    spark, input_path: str, passes: int = 2, n_known: int | None = None
+    spark, input_path: str, passes: int = 2, n_known: int | None = None,
+    **extract_kwargs,
 ) -> tuple[float, int]:
     """Best-of-``passes`` wall time for the FULL pipeline.
 
@@ -174,7 +233,7 @@ def run_extraction(
     from paper2llm_spark.plans.extract import extract_documents
 
     pages = spark.read.parquet(input_path)
-    out = extract_documents(pages, mode="placeholder")
+    out = extract_documents(pages, mode="placeholder", **extract_kwargs)
     # output row count (count() prunes the UDFs; skipped when known)
     n = n_known if n_known is not None else out.count()
     out.write.format("noop").mode("overwrite").save()  # warm: JIT + Python workers
@@ -321,6 +380,17 @@ def main() -> None:
     extract_wall, n_docs = run_extraction(spark, input_path)
     qtimes = run_queries(spark, SF_DIR)
     qtimes["extract_pipeline"] = round(extract_wall, 3)
+
+    # skew evidence: heavy-tail corpus (2% docs are 120-page PDFs) with
+    # the page-range split engaged (giant_bytes forces the synthetic
+    # giants — ~90 KB, image-free — down the chunk path a multi-MB real
+    # PDF would take); throughput proves one giant doesn't pin a task
+    skew_path = synthesize_skew_pages(spark, SF_DIR)
+    skew_wall, n_skew = run_extraction(
+        spark, skew_path, giant_bytes=50_000
+    )
+    qtimes["extract_pipeline_skew"] = round(skew_wall, 3)
+    result_skew = {"docs": n_skew, "docs_per_sec": round(n_skew / skew_wall, 2)}
     docs_per_sec = round(n_docs / extract_wall, 2)
 
     result = {
@@ -331,6 +401,7 @@ def main() -> None:
         "sf": _sf_tag(SF_DIR),
         "docs": n_docs,
         "cpus": CPUS,
+        "skew": result_skew,
     }
 
     if scaling:
