@@ -48,11 +48,56 @@ def _synth_pages(spark: SparkSession, sf_dir: str, langs: str = "'en'") -> DataF
     )
 
 
+def _synth_pages_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML + PDF payload mix (10% PDFs built by the deterministic
+    writer) so the flagship exercises BOTH parse branches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    html_rows = _synth_pages(spark, sf_dir).filter(
+        F.xxhash64("url") % 10 != 0
+    )
+
+    def make_pdfs(batches):
+        from paper2llm_spark.pdf.writer import layout_markdown_page, write_pdf
+
+        for b in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                words = text.split()
+                half = len(words) // 2
+                pages = [
+                    f"# Document {doc_id}\n\n" + " ".join(words[:half]),
+                    " ".join(words[half:])
+                    + "\n\n![img-0.jpeg](img-0.jpeg)\n\n## References\n\n[1] synthetic.",
+                ]
+                out["url"].append(f"https://docs.test/pdf/{doc_id}")
+                out["warc_ts"].append(None)
+                out["html"].append(write_pdf([layout_markdown_page(p) for p in pages]))
+                out["text"].append("")
+                out["lang"].append(lang)
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdf_rows = (
+        docs.filter(
+            F.xxhash64(F.concat(F.lit("https://docs.test/"), F.col("source"),
+                                F.lit("/"), F.col("doc_id"))) % 10 == 0
+        )
+        .select("doc_id", "text", "lang")
+        .mapInPandas(
+            make_pdfs,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
+    return html_rows.unionByName(pdf_rows)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship extraction over /root/testdata/sf0.001 (driver smoke)."""
     from paper2llm_spark.plans.extract import extract_documents
 
-    pages = _synth_pages(spark, "/root/testdata/sf0.001")
+    pages = _synth_pages_mixed(spark, "/root/testdata/sf0.001")
     out = extract_documents(pages, mode="placeholder")
     return out.select(
         "url", "markdown", "main_content", "backmatter", "appendix", "title",

@@ -111,7 +111,9 @@ def test_entry_smoke(spark):
     sample = ok[0]
     assert sample["markdown"].startswith("#### Page 1\n\n# Document ")
     assert sample["backmatter"] is not None  # References section split out
-    assert sample["model"] == "html-extract-v1"
+    # flagship carries BOTH payload branches (10% PDFs)
+    models = {r["model"] for r in ok}
+    assert models == {"html-extract-v1", "mistral-ocr-latest"}, models
 
 
 def test_extract_pipeline_query_rows(spark):
