@@ -130,6 +130,52 @@ def _extract_pipeline_desc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB dual for the flagship pipeline over the SQL-templated pages of
+# _synth_pages. Every stage of the pipeline is deterministic on this
+# template, so the full output is a closed-form string function of
+# (doc_id, source, text):
+#
+# * html_extract strips <nav>/<footer> wholesale, turns <h1>/<h2> into
+#   headings, and collapses whitespace per block (html_extract.py:72) —
+#   on the template that yields
+#   "# Document {id}\n\n{text'}\n\n## References\n\n[1] synthetic."
+#   with text' = newline->space + ws-run collapse + trim of text;
+# * assembly prepends "#### Page 1\n\n" (single page;
+#   operators/assemble.py:84, markdown-processor.ts:45);
+# * no image refs -> enhancement is the identity on both branches, so one
+#   dual serves placeholder AND descriptions mode;
+# * the splitter puts the boundary at "## References" (ACK pattern
+#   markdown-splitter.ts:95-112) -> main_content/backmatter split;
+# * extractTitle finds "# Document {id}" -> title; the mock bibtex key is
+#   lastname + pinned year + first significant title word ->
+#   "example2026document" (bibtex-generator.ts:153-188, FIXTURES.md).
+#
+# Verified cell-identical vs the Spark pipeline on every row at sf0.001
+# and sf0.01 (tests/test_driver_contract.py runs the comparison).
+_EXTRACT_PIPELINE_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         concat('https://docs.test/', source, '/', doc_id) AS url,
+         trim(regexp_replace(replace(text, chr(10), ' '), '[ \t\r\f\v]+', ' ', 'g')) AS body
+  FROM documents
+  WHERE lang = 'en'
+)
+SELECT url,
+       '#### Page 1' || chr(10) || chr(10) ||
+       '# Document ' || doc_id || chr(10) || chr(10) ||
+       body || chr(10) || chr(10) ||
+       '## References' || chr(10) || chr(10) || '[1] synthetic.' AS markdown,
+       '#### Page 1' || chr(10) || chr(10) ||
+       '# Document ' || doc_id || chr(10) || chr(10) || body AS main_content,
+       '## References' || chr(10) || chr(10) || '[1] synthetic.' AS backmatter,
+       'Document ' || doc_id AS title,
+       1 AS page_count,
+       'html-extract-v1' AS model,
+       'example2026document' AS bibtex_key
+FROM src
+"""
+
+
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         dedup, multimodal, refscalars, relational, similarity, textstats,
@@ -138,10 +184,10 @@ def _registry() -> dict[str, tuple]:
     registry: dict[str, tuple] = {}
     for module in (dedup, similarity, textstats, relational, multimodal, refscalars):
         registry.update(module.QUERIES)
-    # pipeline query: pandas-UDF stages -> no SQL dual (rows-only check);
-    # byte-identical correctness is pytest-gated against the oracle library
-    registry["extract_html_pipeline"] = (_extract_pipeline_query, None)
-    registry["extract_html_pipeline_desc"] = (_extract_pipeline_desc_query, None)
+    registry["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
+    registry["extract_html_pipeline_desc"] = (
+        _extract_pipeline_desc_query, _EXTRACT_PIPELINE_SQL,
+    )
     return registry
 
 
