@@ -148,15 +148,35 @@ SELECT vec_id, {_bucket_sql("v")}::BIGINT AS bucket FROM e
 """
 
 
+N_PLANT = 40  # planted near-dup copies (vec_id < N_PLANT, offset ids)
+PLANT_OFFSET = 1_000_000
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: same LSH bucket AND cosine >= threshold.
 
     The bucket equi-join replaces the O(n²) cross join — the plan that
     still works at 10^9 vectors (bucket sizes bounded; skewed buckets
-    handled by AQE skew join)."""
-    emb = _emb(spark, sf_dir).select(
+    handled by AQE skew join).
+
+    The raw embeddings fixture is near-orthogonal noise (no pair clears
+    the threshold), which would make the correctness gate vacuous (0 vs 0
+    rows verifies nothing). So the corpus is augmented with DETERMINISTIC
+    planted near-dups — a copy of each vec_id < N_PLANT with +0.05 on the
+    first coordinate, id-offset by PLANT_OFFSET — mirrored exactly in the
+    DuckDB dual; the query must then recover the planted pairs (cos
+    ~0.999) through the bucket join."""
+    raw = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    planted = raw.filter(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.slice("v", 2, DIM - 1),
+        ).alias("v"),
+    )
+    emb = raw.unionByName(planted)
     # norms + buckets staged per vector, not per pair
     b = emb.select(
         "vec_id", "v", _norm(F.col("v")).alias("nv"),
@@ -183,7 +203,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEARDUP_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_prepend(v[1] + 0.05, v[2:]) AS v
+  FROM raw WHERE vec_id < {N_PLANT}
+),
+e AS (SELECT * FROM raw UNION ALL SELECT * FROM planted),
 b AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

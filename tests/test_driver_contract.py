@@ -102,6 +102,16 @@ def test_query_matches_duckdb_oracle(name, spark, duck, registry):
         pytest.fail(f"{name}: value hash mismatch; first diffs: {diffs}")
 
 
+def test_embedding_neardup_not_vacuous(duck):
+    """The near-dup gate must verify actual pairs: the planted-duplicate
+    corpus (operators/similarity.py) guarantees a non-empty result — a
+    0-vs-0 'pass' would verify nothing."""
+    from paper2llm_spark.operators.similarity import EMBEDDING_NEARDUP_SQL
+
+    n = len(duck.sql(EMBEDDING_NEARDUP_SQL).fetchdf())
+    assert n > 0
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
