@@ -251,12 +251,26 @@ FROM bands a JOIN bands b
 # ---------------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.35
+# Shingle document-frequency cap: the inverted-index self-join is
+# quadratic in per-shingle df — one stop-shingle ("of the and") in 10^6
+# docs would alone create a 10^12-row join bucket. Shingles with df >
+# DF_CAP are dropped from the SHARED count before the join (sizes keep
+# the full distinct-shingle counts, so capped jaccard only ever
+# under-estimates, and only for pairs whose overlap hides in
+# stop-shingles that carry no dedup signal). Join fanout per shingle is
+# then bounded by C(DF_CAP, 2). The hot-shingle set is tiny by
+# definition (few shingles can exceed the cap), so it broadcasts.
+# On the test fixture max df = 7, so the cap provably changes nothing
+# at sf<=0.1 while making the plan survive a hot-shingle corpus
+# (tests/test_plan_quality.py asserts the bounded fanout).
+SHINGLE_DF_CAP = 64
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with word-trigram Jaccard >= threshold via the inverted-index
-    plan: explode shingles, equi-join on shingle, count shared, divide by
-    |A| + |B| - shared."""
+    plan: explode shingles, drop shingles with document frequency >
+    SHINGLE_DF_CAP (broadcast anti-join against the hot set), equi-join on
+    shingle, count shared, divide by |A| + |B| - shared."""
     docs = _shingled(_docs(spark, sf_dir))
     sizes = docs.select(
         "doc_id", F.size(F.array_distinct("shingles")).alias("n_shingles")
@@ -264,10 +278,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
     )
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    kept = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     shared = (
-        exploded.alias("a")
+        kept.alias("a")
         .join(
-            exploded.alias("b"),
+            kept.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -297,9 +318,12 @@ WITH t AS (SELECT doc_id, {SQL_TOKENS.format(expr="text")} AS tok FROM documents
 s AS (SELECT doc_id, list_distinct({SQL_TRIGRAMS.format(tok="tok")}) AS shingles FROM t),
 sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM s),
 ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM s),
+dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+kept AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN dfreq USING (shingle)
+         WHERE df <= {SHINGLE_DF_CAP}),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -106,3 +106,59 @@ def test_lsh_pairs_equi_join_on_band(spark):
     plan = _physical(lsh_candidate_pairs(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_join_conf_enabled(spark):
+    """A hot LSH band / embedding bucket must split at runtime: the
+    session factory is required to ship with AQE skew-join on (the
+    band-hash equi-joins are the skew-exposed shuffles at 10^12 docs)."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
+    """Hot-shingle guard: a stop-shingle shared by every document must NOT
+    reach the shingle self-join. 100 docs sharing one trigram would make
+    C(100,2)=4950 join rows from that shingle alone; with the df-cap the
+    hot shingle is dropped and the surviving pairs come only from the
+    rare (df<=cap) shingles. The capped Spark result must also stay in
+    lockstep with the capped DuckDB dual."""
+    import duckdb
+
+    from paper2llm_spark.operators import dedup
+
+    sf_dir = str(tmp_path)
+    # 100 docs, each: one shared hot trigram ("stop shingle one two" ->
+    # trigrams incl. the same 4-gram windows) + unique filler; plus one
+    # true near-dup pair (docs 900/901) whose overlap is in RARE shingles
+    rows = []
+    for i in range(100):
+        rows.append((i, f"common stop shingle here unique{i}a unique{i}b unique{i}c"))
+    rows.append((900, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((901, "alpha beta gamma delta epsilon zeta eta iota"))
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out = dedup.ngram_jaccard_pairs(spark, sf_dir)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    # the hot shingles (df=100 > cap) are dropped -> the 100 hot docs
+    # share nothing; only the rare-shingle near-dup pair survives
+    assert (900, 901) in got
+    assert all(a == 900 for a, _ in got), got
+    # plan: the hot-set filter is a broadcast anti-join (tiny by definition)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    duck = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["jaccard"])
+        for r in con.sql(dedup.NGRAM_JACCARD_SQL).fetchdf().to_dict("records")
+    }
+    assert {k: float(v) for k, v in got.items()} == duck
