@@ -35,9 +35,20 @@ DEFAULT_CHUNK_PAGES = 16
 
 def plan_chunks(df: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES) -> DataFrame:
     """(url, kind, html) -> chunk rows; page_lo/page_hi inclusive, or
-    (0, -1) meaning "whole document" (html / small pdf)."""
+    (0, -1) meaning "whole document" (html / small pdf).
+
+    Split documents emit BYTE-SLICED chunk payloads (kind ``pdf_slice``,
+    pdf.slicer): each chunk row carries only its own pages' objects, so
+    the spread shuffle moves O(payload) total bytes instead of
+    O(payload x n_chunks) — the difference between ~2 GB and ~250 GB on
+    one 2000-page document. If slicing raises (payload the slicer can't
+    take apart), the planner falls back to full-payload chunk rows:
+    correctness never depends on the slicer, only shuffle volume does.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pdf.slicer import slice_pdf
+
         for pdf_batch in batches:
             out: dict[str, list[Any]] = {
                 "url": [], "kind": [], "page_lo": [], "page_hi": [],
@@ -65,7 +76,12 @@ def plan_chunks(df: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES) -> DataFr
                     n = 0  # parse stage will quarantine it
                 if n > chunk_pages:
                     for lo in range(0, n, chunk_pages):
-                        emit(url, kind, lo, min(lo + chunk_pages, n) - 1, n, payload)
+                        hi = min(lo + chunk_pages, n) - 1
+                        try:
+                            emit(url, "pdf_slice", lo, hi, n,
+                                 slice_pdf(payload, lo, hi))
+                        except Exception:
+                            emit(url, kind, lo, hi, n, payload)
                 else:
                     emit(url, kind, 0, -1, n, payload)
             yield pd.DataFrame(out)
@@ -95,6 +111,10 @@ def parse_chunks(df: DataFrame) -> DataFrame:
                 try:
                     if kind == "html":
                         ocr = html_to_ocr_result(payload)
+                    elif kind == "pdf_slice":
+                        # byte-sliced chunk: pages restart at 0 inside the
+                        # slice; restore document-absolute indexes
+                        ocr = parse_pdf(payload, index_offset=int(lo))
                     elif hi >= 0:
                         ocr = parse_pdf(payload, int(lo), int(hi))
                     else:

@@ -111,13 +111,17 @@ def parse_pdf(
     data: bytes,
     page_lo: int | None = None,
     page_hi: int | None = None,
+    index_offset: int = 0,
 ) -> dict[str, Any]:
     """Parse PDF bytes into the OcrResult-shaped dict.
 
     ``page_lo``/``page_hi`` select an inclusive 0-based page-index range
     (skew splitting of large documents); page ``index`` fields keep their
     document-absolute values so reassembly-by-sort is exact
-    (SURVEY.md §2.3 ordering note).
+    (SURVEY.md §2.3 ordering note). ``index_offset`` shifts emitted
+    indexes for byte-sliced chunk payloads (pdf.slicer), whose internal
+    page positions restart at 0 but whose document-absolute range starts
+    at the chunk's ``page_lo``.
     """
     if data[:5] != b"%PDF-":
         raise PdfParseError("not a PDF payload (missing %PDF- magic)")
@@ -225,7 +229,7 @@ def parse_pdf(
 
         pages.append(
             {
-                "index": page_index,
+                "index": page_index + index_offset,
                 "markdown": "\n".join(lines),
                 "images": images,
                 "dimensions": {"width": width, "height": height, "dpi": PAGE_DPI},
