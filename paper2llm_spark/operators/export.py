@@ -156,6 +156,16 @@ def format_file_size(bytes_col: Column) -> Column:
     )
 
 
+def format_timestamp(ts_col: Column) -> Column:
+    """O4 ``formatTimestamp`` (format-utils.ts:7-10):
+    ``new Date(isoString).toLocaleString()``. The reference's output
+    depends on the viewer's host locale and timezone (display-only); the
+    cluster column pins the en-US rendering in the session's UTC timezone
+    so it is deterministic across executors —
+    ``M/d/yyyy, h:mm:ss AM|PM``, exactly what V8 produces for en-US."""
+    return F.date_format(ts_col, "M/d/y, h:mm:ss a")
+
+
 def with_export_columns(extracted: DataFrame) -> DataFrame:
     """Attach the S7-download column set to the output table."""
     return (

@@ -388,6 +388,36 @@ FROM b
 """
 
 
+def format_timestamp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 formatTimestamp (format-utils.ts:7-10) over timestamps
+    synthesized from doc_id to sweep months, AM/PM (incl. the 12 AM / 12
+    PM clock-hour edge) and second values; rendering pinned to en-US/UTC
+    (locale-dependent in the reference, see operators/export.py)."""
+    from .export import format_timestamp
+
+    docs = _docs(spark, sf_dir)
+    ts = F.expr(
+        "timestamp'2025-11-30 20:05:06'"
+        " + make_interval(0, 0, 0, 0, 0, doc_id * 97, doc_id % 61)"
+    )
+    return docs.select(
+        "doc_id", ts.alias("ts"), format_timestamp(ts).alias("ts_label")
+    )
+
+
+FORMAT_TIMESTAMP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         timestamp '2025-11-30 20:05:06'
+           + (doc_id * 97) * INTERVAL 1 MINUTE
+           + (doc_id % 61) * INTERVAL 1 SECOND AS ts
+  FROM documents
+)
+SELECT doc_id, ts, strftime(ts, '%-m/%-d/%Y, %-I:%M:%S %p') AS ts_label
+FROM t
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ref_title_extract": (title_extract, TITLE_EXTRACT_SQL),
     "ref_year_extract": (year_extract, YEAR_EXTRACT_SQL),
@@ -397,4 +427,5 @@ QUERIES: dict[str, tuple] = {
     "ref_image_metrics": (image_metrics, IMAGE_METRICS_SQL),
     "ref_export_name": (export_name, EXPORT_NAME_SQL),
     "ref_format_size": (format_size, FORMAT_SIZE_SQL),
+    "ref_format_timestamp": (format_timestamp_q, FORMAT_TIMESTAMP_SQL),
 }
