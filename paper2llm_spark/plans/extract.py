@@ -85,6 +85,54 @@ def extract_documents(
     )
 
 
+def _stage_metric_rows(
+    spark: SparkSession, run_id: str, min_stage_id: int
+) -> tuple[list[tuple], int]:
+    """Per-stage wall/run times from the app status store (C2, SURVEY
+    §2.9: "SparkListener for stage timing").
+
+    The status store is fed by the scheduler's listener bus, so these ARE
+    the SparkListener stage events — read driver-side after each commit
+    group instead of through a py4j callback-server listener (which is
+    fragile under spark-submit and adds a shutdown hazard). Returns rows
+    for COMPLETE/FAILED stages with stageId >= ``min_stage_id`` plus the
+    next watermark.
+    """
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark.sparkContext._jvm.java.util.ArrayList()
+    dflt = lambda i: getattr(store, f"stageList$default${i}")()  # noqa: E731
+    stages = store.stageList(empty, dflt(2), dflt(3), dflt(4), dflt(5))
+    rows: list[tuple] = []
+    watermark = min_stage_id
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        sid = s.stageId()
+        status = s.status().toString()
+        watermark = max(watermark, sid + 1)
+        if sid < min_stage_id or status not in ("COMPLETE", "FAILED"):
+            continue
+        sub, comp = s.submissionTime(), s.completionTime()
+        sub_ms = sub.get().getTime() if sub.isDefined() else None
+        comp_ms = comp.get().getTime() if comp.isDefined() else None
+        rows.append((
+            sid, s.attemptId(), status, s.name(), s.numTasks(),
+            int(s.executorRunTime()),
+            sub_ms, comp_ms,
+            (comp_ms - sub_ms) if sub_ms is not None and comp_ms is not None
+            else None,
+            run_id,
+        ))
+    return rows, watermark
+
+
+STAGE_METRICS_SCHEMA = (
+    "stage_id int, attempt int, status string, name string, num_tasks int, "
+    "executor_run_ms long, submitted_ms long, completed_ms long, "
+    "wall_ms long, run_id string"
+)
+
+
 def _lineage_rows(result: DataFrame, run_id: str) -> DataFrame:
     """Per-parse-partition lineage (north_star): partition_id, url_range,
     doc_count, bytes_in/out, wall_ms."""
@@ -129,6 +177,19 @@ class CheckpointedExtractJob:
         self.out_path = os.path.join(output_dir, "extracted")
         self.lineage_path = os.path.join(output_dir, "lineage")
         self.checkpoint_path = os.path.join(output_dir, "checkpoint")
+        self.stage_metrics_path = os.path.join(output_dir, "stage_metrics")
+        # job-group handle for cooperative cancellation (C3,
+        # pdf-to-md.ts:175-178 cancelOperation): every Spark job this
+        # runner submits is tagged with it, so cancel() can interrupt
+        # mid-group from another thread
+        self.job_group = f"p2l-extract-{uuid.uuid4().hex[:8]}"
+
+    def cancel(self) -> None:
+        """Cooperative cancellation (C3): interrupt the running commit
+        group's jobs. Safe by construction — only COMMITTED groups are
+        checkpointed, so a cancelled run resumes exactly where the last
+        commit left off (the kill-and-resume contract, tested)."""
+        self.spark.sparkContext.cancelJobGroup(self.job_group)
 
     # -- checkpoint table ---------------------------------------------------
     def completed_buckets(self) -> set[int]:
@@ -161,6 +222,27 @@ class CheckpointedExtractJob:
             # hits the physical partition column and PRUNES the scan, so
             # the whole run reads the table exactly once in total.
             pages = with_bucket(pages, self.n_buckets)
+        else:
+            # NEVER trust a pre-existing bucket column blindly: a table
+            # bucketed with a different n_buckets (or an unrelated column
+            # of the same name) would make group filters silently select
+            # the wrong rows while every bucket still checkpoints 'done'.
+            # Sample-check that values match pmod(xxhash64(url), n) —
+            # a layout mismatch is wrong everywhere, so a bounded sample
+            # catches it; on mismatch fall back to recomputing (losing
+            # partition pruning, keeping correctness).
+            expected = F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
+            bad = (
+                pages.select("url", "bucket").limit(1024)
+                .filter(
+                    F.col("bucket").isNull()
+                    | (F.col("bucket") != expected)
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                pages = with_bucket(pages.drop("bucket"), self.n_buckets)
 
         done = self.completed_buckets()
         groups: list[list[int]] = [
@@ -172,31 +254,58 @@ class CheckpointedExtractJob:
             groups = groups[:max_groups]
 
         processed = 0
-        for group in groups:
-            subset = pages.filter(F.col("bucket").isin(group))
-            result = extract_documents(
-                subset, mode=self.mode, chunk_pages=self.chunk_pages,
-                langs=self.langs,
-            ).withColumn(
-                # bucket is a pure function of url — recompute, don't join
-                "bucket",
-                F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"),
-            )
-            result = result.cache()
-            try:
-                result.select(*OUTPUT_COLUMNS).write.mode("append").parquet(
-                    self.out_path
+        cancelled = False
+        sc = self.spark.sparkContext
+        # watermark = current max stage id + 1: stages submitted before
+        # this run (other jobs on the session) are excluded
+        _, stage_watermark = _stage_metric_rows(self.spark, run_id, 0)
+        sc.setJobGroup(self.job_group, f"p2l extract run {run_id}",
+                       interruptOnCancel=True)
+        try:
+            for group in groups:
+                subset = pages.filter(F.col("bucket").isin(group))
+                result = extract_documents(
+                    subset, mode=self.mode, chunk_pages=self.chunk_pages,
+                    langs=self.langs,
+                ).withColumn(
+                    # bucket is a pure function of url — recompute, don't join
+                    "bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"),
                 )
-                _lineage_rows(result, run_id).write.mode("append").parquet(
-                    self.lineage_path
+                result = result.cache()
+                try:
+                    result.select(*OUTPUT_COLUMNS).write.mode("append").parquet(
+                        self.out_path
+                    )
+                    _lineage_rows(result, run_id).write.mode("append").parquet(
+                        self.lineage_path
+                    )
+                finally:
+                    result.unpersist()
+                self._mark_done(group, run_id)
+                processed += 1
+                # stage timing (C2): append the listener-bus stage rows
+                # this group produced to the metrics table
+                rows, stage_watermark = _stage_metric_rows(
+                    self.spark, run_id, stage_watermark
                 )
-            finally:
-                result.unpersist()
-            self._mark_done(group, run_id)
-            processed += 1
+                if rows:
+                    self.spark.createDataFrame(
+                        rows, STAGE_METRICS_SCHEMA
+                    ).withColumn("ts", F.current_timestamp()).write.mode(
+                        "append"
+                    ).parquet(self.stage_metrics_path)
+        except Exception as exc:  # cooperative cancel surfaces here
+            if "cancel" not in str(exc).lower():
+                raise
+            cancelled = True
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
         return {
             "run_id": run_id,
             "groups_processed": processed,
+            "cancelled": cancelled,
             "wall_s": round(time.monotonic() - t0, 3),
         }

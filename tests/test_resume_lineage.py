@@ -67,6 +67,97 @@ def test_lineage_rows_written(spark, fixture_pages_path, tmp_path):
     assert any(r["bytes_out"] > 0 for r in rows)
 
 
+def test_stage_metrics_rows_written(spark, fixture_pages_path, tmp_path):
+    """C2 completion: per-stage wall times from the listener-bus status
+    store land in the stage_metrics table, scoped to this run's stages."""
+    out_dir = str(tmp_path / "job_stages")
+    job = CheckpointedExtractJob(
+        spark, fixture_pages_path, out_dir, n_buckets=4, n_groups=2
+    )
+    res = job.run()
+    metrics = spark.read.parquet(job.stage_metrics_path)
+    rows = metrics.collect()
+    assert rows, "stage_metrics table must not be empty"
+    assert {"stage_id", "status", "name", "num_tasks", "executor_run_ms",
+            "wall_ms", "run_id", "ts"} <= set(metrics.columns)
+    assert all(r["run_id"] == res["run_id"] for r in rows)
+    assert all(r["status"] == "COMPLETE" for r in rows)
+    assert any(r["wall_ms"] is not None and r["wall_ms"] >= 0 for r in rows)
+    # stages from the two commit groups; ids are unique per (stage, attempt)
+    ids = [(r["stage_id"], r["attempt"]) for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_cooperative_cancel_then_resume(spark, fixture_pages_path, tmp_path):
+    """C3: cancel(run) from another thread interrupts the current commit
+    group; committed groups stay committed, and a resume completes the
+    remainder with no duplicated urls (cancelOperation,
+    pdf-to-md.ts:175-178 -> sc.cancelJobGroup)."""
+    import threading
+    import time as _time
+
+    out_dir = str(tmp_path / "job_cancel")
+    job = CheckpointedExtractJob(
+        spark, fixture_pages_path, out_dir, n_buckets=8, n_groups=4
+    )
+
+    def cancel_when_active():
+        # wait until the runner has a Spark job in flight, then cancel
+        for _ in range(600):
+            if spark.sparkContext.statusTracker().getActiveJobsIds():
+                break
+            _time.sleep(0.01)
+        job.cancel()
+
+    t = threading.Thread(target=cancel_when_active)
+    t.start()
+    res = job.run()
+    t.join()
+    assert res["cancelled"] or res["groups_processed"] == 4
+    done = job.completed_buckets()
+    if res["cancelled"]:
+        assert len(done) < 8  # the interrupted group was NOT checkpointed
+
+    # resume finishes the remainder; output has no duplicate urls
+    job2 = CheckpointedExtractJob(
+        spark, fixture_pages_path, out_dir, n_buckets=8, n_groups=4
+    )
+    res2 = job2.run()
+    assert not res2["cancelled"]
+    assert job2.completed_buckets() == set(range(8))
+    urls = [r["url"] for r in spark.read.parquet(job.out_path).select("url").collect()]
+    assert len(urls) == len(set(urls))
+
+
+def test_mismatched_bucket_column_is_recomputed_not_trusted(
+    spark, fixture_pages_path, tmp_path
+):
+    """ADVICE r01: a pre-existing bucket column written with a DIFFERENT
+    n_buckets must not be trusted — an 8-bucket layout run with
+    n_buckets=2 would select only stored buckets 0..1 and silently DROP
+    every row with bucket 2..7 while still checkpointing both groups
+    'done'. The runner sample-checks values against
+    pmod(xxhash64(url), n) and recomputes on mismatch."""
+    from paper2llm_spark.sources.pages import with_bucket
+
+    mism_path = str(tmp_path / "pages_mismatched")
+    pages = spark.read.parquet(fixture_pages_path)
+    # bucketed for n=8, but the job below runs with n_buckets=2
+    with_bucket(pages, 8).write.partitionBy("bucket").parquet(mism_path)
+
+    out_dir = str(tmp_path / "job_mismatch")
+    job = CheckpointedExtractJob(
+        spark, mism_path, out_dir, n_buckets=2, n_groups=2
+    )
+    job.run()
+    assert job.completed_buckets() == set(range(2))
+    final = spark.read.parquet(job.out_path)
+    goldens = golden_outputs()
+    got = {r["url"]: r["markdown"] for r in final.collect()}
+    for url, g in goldens.items():
+        assert got[url] == g["markdown"], url
+
+
 def test_bucketed_input_layout_prunes_and_matches(spark, fixture_pages_path, tmp_path):
     """A pages table physically partitioned by the logical bucket column
     (sources.pages.with_bucket at write time) must (a) partition-prune the
