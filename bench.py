@@ -220,7 +220,7 @@ def synthesize_skew_pages(spark, sf_dir: str, replicas: int = 4) -> str:
 
 def run_extraction(
     spark, input_path: str, passes: int = 2, n_known: int | None = None,
-    **extract_kwargs,
+    mode: str = "placeholder", **extract_kwargs,
 ) -> tuple[float, int]:
     """Best-of-``passes`` wall time for the FULL pipeline.
 
@@ -233,7 +233,7 @@ def run_extraction(
     from paper2llm_spark.plans.extract import extract_documents
 
     pages = spark.read.parquet(input_path)
-    out = extract_documents(pages, mode="placeholder", **extract_kwargs)
+    out = extract_documents(pages, mode=mode, **extract_kwargs)
     # output row count (count() prunes the UDFs; skipped when known)
     n = n_known if n_known is not None else out.count()
     out.write.format("noop").mode("overwrite").save()  # warm: JIT + Python workers
@@ -351,11 +351,24 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
         ))
     results = []
-    for p in procs:
-        out, _ = p.communicate()
-        if p.returncode != 0:
-            raise RuntimeError(f"scale worker failed (rc={p.returncode})")
-        results.append(json.loads(out.strip().splitlines()[-1]))
+    try:
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError(f"scale worker failed (rc={p.returncode})")
+            results.append(json.loads(out.strip().splitlines()[-1]))
+    except Exception:
+        # reap the remaining pinned JVMs: an orphan would keep holding
+        # cores and /dev/shm spill space under later measurements
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+                try:
+                    p.communicate(timeout=30)
+                except Exception:
+                    p.kill()
+                    p.communicate()
+        raise
     return {
         "wall": max(r["wall"] for r in results),
         "docs": results[0]["docs"],
@@ -380,6 +393,14 @@ def main() -> None:
     extract_wall, n_docs = run_extraction(spark, input_path)
     qtimes = run_queries(spark, SF_DIR)
     qtimes["extract_pipeline"] = round(extract_wall, 3)
+
+    # descriptions branch (VERDICT r01 #7): its extra Arrow-hop cost —
+    # context build + describe substitute + splice — must be tracked,
+    # not just the placeholder branch
+    desc_wall, _ = run_extraction(
+        spark, input_path, n_known=n_docs, mode="descriptions"
+    )
+    qtimes["extract_pipeline_desc"] = round(desc_wall, 3)
 
     # skew evidence: heavy-tail corpus (2% docs are 120-page PDFs) with
     # the page-range split engaged (giant_bytes forces the synthetic
@@ -430,42 +451,59 @@ def main() -> None:
             log_line = (f"round: local[{lo}]={r_lo['wall']:.2f}s "
                         f"local[{hi}]={r_hi['wall']:.2f}s")
             print(log_line, file=sys.stderr)
+
+        # UNSELECTED statistic first (VERDICT r01 #3): per-round paired
+        # efficiency e_i = w_lo_i / (w_hi_i * 4), median over THIS run's
+        # rounds only — no best-of selection, no historical merge, so it
+        # cannot be flattered by picking lucky windows. Reported alongside
+        # the selected number; the >=0.8 target is judged on the median.
+        effs = sorted(l / (h * (hi // lo)) for l, h in rounds)
+        eff_median = effs[len(effs) // 2] if len(effs) % 2 else (
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        )
+
+        prev = None
         try:
             with open("BENCH/scaling.json") as f:
                 prev = json.load(f)
-            # method_v gates the merge: walls measured under a previous
-            # methodology are not comparable
-            if (prev.get("docs") == n_docs_scale and "wall_low" in prev
-                    and prev.get("method_v") == METHOD_V):
-                rounds.append((prev["wall_low"], prev["wall_high"]))
-        except Exception:
-            pass
-        w_lo, w_hi = min(rounds, key=lambda p: (p[1], p[0]))
+        except (FileNotFoundError, json.JSONDecodeError):
+            prev = None
+        # method_v gates the merge: walls measured under a previous
+        # methodology are not comparable
+        rounds_sel = list(rounds)
+        if (prev and prev.get("docs") == n_docs_scale
+                and "wall_low" in prev and prev.get("method_v") == METHOD_V):
+            rounds_sel.append((prev["wall_low"], prev["wall_high"]))
+        w_lo, w_hi = min(rounds_sel, key=lambda p: (p[1], p[0]))
         t_lo = round(n_docs_scale / w_lo, 2)
         t_hi = round(n_docs_scale / w_hi, 2)
         eff = t_hi / t_lo / (hi / lo)
-        # headline is merged the same way: keep the least-contended reading
-        try:
-            if prev.get("headline", 0) > result["value"]:
-                result["value"] = prev["headline"]
-                result["docs"] = prev["headline_docs"]
-                result["queries"]["extract_pipeline"] = prev["headline_wall"]
-        except Exception:
-            pass
+
+        # headline: CURRENT run's reading stays in `value` so regressions
+        # remain visible (ADVICE r01); best historical is reported
+        # separately as value_best
+        result["value_best"] = result["value"]
+        if prev and prev.get("headline_best", prev.get("headline", 0)) > result["value"]:
+            result["value_best"] = prev.get("headline_best", prev.get("headline"))
         result["scaling"] = {
             "headline": result["value"],
+            "headline_best": result["value_best"],
             "headline_docs": result["docs"],
             "headline_wall": result["queries"]["extract_pipeline"],
             "n_low": lo, "n_high": hi, "docs": n_docs_scale,
+            "rounds": [[round(l, 3), round(h, 3)] for l, h in rounds],
             "wall_low": round(w_lo, 3), "wall_high": round(w_hi, 3),
             "throughput_low": t_lo, "throughput_high": t_hi,
             "efficiency": round(eff, 3),
+            "efficiency_median": round(eff_median, 3),
             "method_v": METHOD_V,
             "method": (
                 "self-contention emulation: low level = 4 concurrent "
                 "taskset-pinned copies on disjoint core sets (slowest copy "
-                "reported), high level = whole box; paired rounds, selected "
-                "by best high-level wall"
+                "reported), high level = whole box; paired rounds. "
+                "efficiency = best round by high-level wall (merged with "
+                "saved rounds); efficiency_median = median of this run's "
+                "paired rounds, unselected"
             ),
         }
         os.makedirs("BENCH", exist_ok=True)
@@ -513,12 +551,15 @@ def _write_bench_md(result: dict) -> None:
             f"situation on a real cluster, where N and 4N executors run "
             f"on identical machine types and only job structure "
             f"(scheduling, stragglers, shuffle) can degrade scaling; "
-            f"PAIRED rounds gated on machine quiescence, round selected "
-            f"by best high-level wall): "
+            f"PAIRED rounds gated on machine quiescence): "
             f"local[{s['n_low']}] -> {s['throughput_low']} docs/sec; "
             f"local[{s['n_high']}] -> {s['throughput_high']} docs/sec; "
-            f"efficiency = (T_high/T_low)/{s['n_high'] // s['n_low']} = "
-            f"**{s['efficiency']}** (target >= 0.8, BASELINE.json)",
+            f"efficiency (best round by high-level wall) = "
+            f"(T_high/T_low)/{s['n_high'] // s['n_low']} = "
+            f"**{s['efficiency']}**; efficiency MEDIAN of paired rounds "
+            f"(unselected statistic, the honest number) = "
+            f"**{s.get('efficiency_median', '?')}** "
+            f"(target >= 0.8, BASELINE.json)",
         ]
     lines += ["", "Per-query seconds:", "", "| query | sec |", "| --- | --- |"]
     for k, v in sorted(result["queries"].items()):
