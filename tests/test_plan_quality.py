@@ -148,9 +148,16 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
     # share nothing; only the rare-shingle near-dup pair survives
     assert (900, 901) in got
     assert all(a == 900 for a, _ in got), got
-    # plan: the hot-set filter is a broadcast anti-join (tiny by definition)
+    # plan: posting lists — NO join keyed on shingle (pair generation is
+    # array transforms over df-capped lists, so no join fanout for a hot
+    # shingle to blow up); the only joins left are the broadcast size
+    # lookups on doc_a/doc_b
     plan = _physical(out)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, "size lookups should be joins"
+    assert all("shingle#" not in ln for ln in join_lines), join_lines
+    assert all("BroadcastHashJoin" in ln for ln in join_lines), join_lines
+    assert "CartesianProduct" not in plan
 
     con = duckdb.connect()
     con.execute(
