@@ -47,7 +47,7 @@ def plan_chunks(df: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES) -> DataFr
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..pdf.slicer import slice_pdf
+        from ..pdf.slicer import PdfSlicer
 
         for pdf_batch in batches:
             out: dict[str, list[Any]] = {
@@ -75,11 +75,17 @@ def plan_chunks(df: DataFrame, chunk_pages: int = DEFAULT_CHUNK_PAGES) -> DataFr
                 except Exception:
                     n = 0  # parse stage will quarantine it
                 if n > chunk_pages:
+                    try:
+                        slicer = PdfSlicer(payload)  # ONE object scan per doc
+                    except Exception:
+                        slicer = None
                     for lo in range(0, n, chunk_pages):
                         hi = min(lo + chunk_pages, n) - 1
                         try:
+                            if slicer is None:
+                                raise ValueError("unsliceable payload")
                             emit(url, "pdf_slice", lo, hi, n,
-                                 slice_pdf(payload, lo, hi))
+                                 slicer.slice(lo, hi))
                         except Exception:
                             emit(url, kind, lo, hi, n, payload)
                 else:

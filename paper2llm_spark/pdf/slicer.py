@@ -38,61 +38,79 @@ from .parser import (
 )
 
 
-def slice_pdf(data: bytes, page_lo: int, page_hi: int) -> bytes:
-    """Extract pages ``page_lo..page_hi`` (inclusive, 0-based) as a
-    minimal parser-consumable PDF slice.
+class PdfSlicer:
+    """Pre-scanned slicing context: the object-graph scan (the expensive
+    regex pass over the full payload) runs ONCE per document; each
+    ``slice(lo, hi)`` then only copies the kept objects' bytes. The chunk
+    planner emits n_chunks slices per giant doc — without this split a
+    2000-page doc would pay ~125 redundant full-payload scans (measured
+    ~19% of skew-corpus pipeline wall at chunk granularity 16)."""
 
-    Object bodies are copied verbatim (byte-identical content streams =>
-    byte-identical parse) under their ORIGINAL object numbers; only the
-    ``/Pages`` object is rebuilt, listing the kept kids in order.
-    """
-    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
-    page_nums = None
-    for body in objects.values():
-        if b"/Type /Pages" in body:
-            kids = _KIDS_RE.search(body)
-            if kids:
-                page_nums = [int(m.group(1)) for m in _REF_RE.finditer(kids.group(1))]
-                break
-    if page_nums is None:
-        raise PdfParseError("no /Type /Pages object with /Kids found")
+    def __init__(self, data: bytes):
+        self.objects = {
+            int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+        }
+        page_nums = None
+        for body in self.objects.values():
+            if b"/Type /Pages" in body:
+                kids = _KIDS_RE.search(body)
+                if kids:
+                    page_nums = [
+                        int(m.group(1)) for m in _REF_RE.finditer(kids.group(1))
+                    ]
+                    break
+        if page_nums is None:
+            raise PdfParseError("no /Type /Pages object with /Kids found")
+        self.page_nums = page_nums
+        self._next_obj_num = max(self.objects) + 1
 
-    keep = page_nums[page_lo : page_hi + 1]
-    if len(keep) != page_hi - page_lo + 1:
-        raise PdfParseError(
-            f"page range {page_lo}..{page_hi} out of bounds ({len(page_nums)} pages)"
+    def slice(self, page_lo: int, page_hi: int) -> bytes:
+        """Pages ``page_lo..page_hi`` (inclusive, 0-based) as a minimal
+        parser-consumable PDF slice. Object bodies are copied verbatim
+        (byte-identical content streams => byte-identical parse) under
+        their ORIGINAL object numbers; only the ``/Pages`` object is
+        rebuilt, listing the kept kids in order."""
+        keep = self.page_nums[page_lo : page_hi + 1]
+        if len(keep) != page_hi - page_lo + 1:
+            raise PdfParseError(
+                f"page range {page_lo}..{page_hi} out of bounds "
+                f"({len(self.page_nums)} pages)"
+            )
+
+        needed: list[int] = []
+        for pn in keep:
+            body = self.objects.get(pn)
+            if body is None or b"/Type /Page" not in body:
+                raise PdfParseError(f"missing page object {pn}")
+            needed.append(pn)
+            cm = _CONTENTS_RE.search(body)
+            if cm:
+                needed.append(int(cm.group(1)))
+            xmap = _XOBJ_MAP_RE.search(body)
+            if xmap:
+                for entry in _XOBJ_ENTRY_RE.finditer(xmap.group(1)):
+                    needed.append(int(entry.group(2)))
+
+        kids_refs = b" ".join(b"%d 0 R" % n for n in keep)
+        out = bytearray(b"%PDF-1.4\n")
+        out += b"%d 0 obj\n<< /Type /Pages /Kids [%s] /Count %d >>\nendobj\n" % (
+            self._next_obj_num,
+            kids_refs,
+            len(keep),
         )
+        seen: set[int] = set()
+        for n in needed:
+            if n in seen:
+                continue
+            seen.add(n)
+            body = self.objects.get(n)
+            if body is None:
+                raise PdfParseError(f"dangling object reference {n}")
+            out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+        out += b"%%EOF\n"
+        return bytes(out)
 
-    needed: list[int] = []
-    for pn in keep:
-        body = objects.get(pn)
-        if body is None or b"/Type /Page" not in body:
-            raise PdfParseError(f"missing page object {pn}")
-        needed.append(pn)
-        cm = _CONTENTS_RE.search(body)
-        if cm:
-            needed.append(int(cm.group(1)))
-        xmap = _XOBJ_MAP_RE.search(body)
-        if xmap:
-            for entry in _XOBJ_ENTRY_RE.finditer(xmap.group(1)):
-                needed.append(int(entry.group(2)))
 
-    pages_obj_num = max(objects) + 1
-    kids_refs = b" ".join(b"%d 0 R" % n for n in keep)
-    out = bytearray(b"%PDF-1.4\n")
-    out += b"%d 0 obj\n<< /Type /Pages /Kids [%s] /Count %d >>\nendobj\n" % (
-        pages_obj_num,
-        kids_refs,
-        len(keep),
-    )
-    seen: set[int] = set()
-    for n in needed:
-        if n in seen:
-            continue
-        seen.add(n)
-        body = objects.get(n)
-        if body is None:
-            raise PdfParseError(f"dangling object reference {n}")
-        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
-    out += b"%%EOF\n"
-    return bytes(out)
+def slice_pdf(data: bytes, page_lo: int, page_hi: int) -> bytes:
+    """One-shot convenience: scan + slice a single range."""
+    return PdfSlicer(data).slice(page_lo, page_hi)
