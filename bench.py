@@ -265,6 +265,46 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _tree_cpu_seconds() -> float:
+    """CPU seconds consumed by this process and every LIVE descendant
+    (the gateway JVM, pyspark daemons and UDF workers), via /proc.
+
+    Used for contamination detection: the parent subtracts the workers'
+    own CPU from whole-machine CPU over the measurement window; the
+    remainder is co-tenant load. Descendants that exited before the
+    snapshot lose their CPU, which only over-ESTIMATES external load —
+    a conservative error (worst case: a clean round retries)."""
+    tck = os.sysconf("SC_CLK_TCK")
+    info: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            info[int(pid)] = (
+                int(parts[1]), (int(parts[11]) + int(parts[12])) / tck
+            )
+        except Exception:
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _cpu) in info.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += info.get(p, (0, 0.0))[1]
+        stack.extend(children.get(p, []))
+    return total
+
+
+def _machine_cpu_seconds() -> float:
+    """Cumulative whole-machine busy CPU seconds (user+sys, /proc/stat)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return (int(parts[1]) + int(parts[3])) / os.sysconf("SC_CLK_TCK")
+
+
 def _scale_worker(n_cpus: int, input_path: str, n_known: int | None = None) -> None:
     """Subprocess body for one pinned scaling measurement.
 
@@ -282,8 +322,9 @@ def _scale_worker(n_cpus: int, input_path: str, n_known: int | None = None) -> N
         app_name=f"p2l-scale-{n_cpus}", cpus=n_cpus, extra_conf=BENCH_SCAN_CONF
     )
     wall, n = run_extraction(spark, input_path, passes=2, n_known=n_known)
+    cpu_s = _tree_cpu_seconds()  # BEFORE stop() so the JVM is still live
     spark.stop()
-    print(json.dumps({"wall": wall, "docs": n}))
+    print(json.dumps({"wall": wall, "docs": n, "cpu_s": round(cpu_s, 1)}))
 
 
 def _busy_cores(interval: float = 1.0) -> float:
@@ -336,6 +377,8 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
     import subprocess
 
     _wait_quiet()
+    t0 = time.monotonic()
+    machine0 = _machine_cpu_seconds()
     n_copies = max(CPUS // n_cpus, 1)
     procs = []
     for i in range(n_copies):
@@ -369,10 +412,20 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
                     p.kill()
                     p.communicate()
         raise
+    # co-tenant load DURING the window: machine CPU minus our workers'
+    # process-tree CPU, averaged over the window. The quiescence gate
+    # only checks the START of a measurement; a burst that begins
+    # mid-round poisons walls by up to 4x (observed), so the caller
+    # discards rounds whose external load exceeds its threshold.
+    window = time.monotonic() - t0
+    machine_cpu = _machine_cpu_seconds() - machine0
+    ours = sum(r.get("cpu_s", 0.0) for r in results)
+    external = max(machine_cpu - ours, 0.0) / max(window, 1e-9)
     return {
         "wall": max(r["wall"] for r in results),
         "docs": results[0]["docs"],
         "copies": n_copies,
+        "external_cores": round(external, 2),
     }
 
 
@@ -443,14 +496,35 @@ def main() -> None:
         # saved round so repeated invocations monotonically converge.
         n_docs_scale = None
         rounds: list[tuple[float, float]] = []
-        for _ in range(3):
+        all_rounds: list[tuple[float, float, float]] = []  # (lo, hi, ext)
+        # a round is CLEAN only if co-tenant load stayed under EXT_LIMIT
+        # cores for both levels — bursts that start mid-measurement are
+        # invisible to the quiescence gate and poison walls by up to 4x
+        EXT_LIMIT, TARGET_ROUNDS, MAX_ATTEMPTS = 2.0, 3, 8
+        attempts = 0
+        while len(rounds) < TARGET_ROUNDS and attempts < MAX_ATTEMPTS:
+            attempts += 1
             r_lo = _run_pinned(lo, scale_input, n_docs_scale)
             n_docs_scale = r_lo["docs"]
             r_hi = _run_pinned(hi, scale_input, n_docs_scale)
-            rounds.append((r_lo["wall"], r_hi["wall"]))
-            log_line = (f"round: local[{lo}]={r_lo['wall']:.2f}s "
-                        f"local[{hi}]={r_hi['wall']:.2f}s")
-            print(log_line, file=sys.stderr)
+            ext = max(r_lo["external_cores"], r_hi["external_cores"])
+            all_rounds.append((r_lo["wall"], r_hi["wall"], ext))
+            clean = ext <= EXT_LIMIT
+            print(
+                f"round: local[{lo}]={r_lo['wall']:.2f}s "
+                f"(ext {r_lo['external_cores']}) "
+                f"local[{hi}]={r_hi['wall']:.2f}s "
+                f"(ext {r_hi['external_cores']})"
+                + ("" if clean else "  DISCARDED: co-tenant load"),
+                file=sys.stderr,
+            )
+            if clean:
+                rounds.append((r_lo["wall"], r_hi["wall"]))
+        contaminated = not rounds
+        if contaminated:
+            # nothing clean after MAX_ATTEMPTS: report the measured
+            # rounds with the contamination flag rather than nothing
+            rounds = [(l, h) for l, h, _ in all_rounds]
 
         # UNSELECTED statistic first (VERDICT r01 #3): per-round paired
         # efficiency e_i = w_lo_i / (w_hi_i * 4), median over THIS run's
@@ -496,14 +570,20 @@ def main() -> None:
             "throughput_low": t_lo, "throughput_high": t_hi,
             "efficiency": round(eff, 3),
             "efficiency_median": round(eff_median, 3),
+            "all_rounds": [
+                [round(l, 3), round(h, 3), e] for l, h, e in all_rounds
+            ],
+            "contaminated": contaminated,
             "method_v": METHOD_V,
             "method": (
                 "self-contention emulation: low level = 4 concurrent "
                 "taskset-pinned copies on disjoint core sets (slowest copy "
-                "reported), high level = whole box; paired rounds. "
-                "efficiency = best round by high-level wall (merged with "
-                "saved rounds); efficiency_median = median of this run's "
-                "paired rounds, unselected"
+                "reported), high level = whole box; paired rounds; rounds "
+                "with co-tenant load > 2 cores during the window (machine "
+                "CPU minus our process-tree CPU) are discarded and "
+                "re-measured. efficiency = best clean round by high-level "
+                "wall (merged with saved rounds); efficiency_median = "
+                "median of this run's clean paired rounds, unselected"
             ),
         }
         os.makedirs("BENCH", exist_ok=True)
