@@ -298,11 +298,17 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
-def _machine_cpu_seconds() -> float:
-    """Cumulative whole-machine busy CPU seconds (user+sys, /proc/stat)."""
+def _machine_cpu_seconds() -> tuple[float, float]:
+    """Cumulative whole-machine (busy, iowait) CPU seconds (/proc/stat).
+
+    iowait matters separately: the sandbox's co-tenants are often
+    I/O-bound — load average 25+ with near-zero busy cores (D-state disk
+    waiters). Their disk pressure slows OUR scans without showing up in
+    user+sys, so contamination gating needs both signals."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
-    return (int(parts[1]) + int(parts[3])) / os.sysconf("SC_CLK_TCK")
+    tck = os.sysconf("SC_CLK_TCK")
+    return (int(parts[1]) + int(parts[3])) / tck, int(parts[5]) / tck
 
 
 def _scale_worker(n_cpus: int, input_path: str, n_known: int | None = None) -> None:
@@ -328,11 +334,15 @@ def _scale_worker(n_cpus: int, input_path: str, n_known: int | None = None) -> N
 
 
 def _busy_cores(interval: float = 1.0) -> float:
-    """Whole-machine busy cores over ``interval`` (user+sys, /proc/stat)."""
+    """Whole-machine busy+iowait cores over ``interval`` (/proc/stat).
+    iowait counts: the sandbox's co-tenants are often I/O-bound, and
+    their disk pressure is exactly what a measurement must not start
+    into."""
     def snap() -> float:
         with open("/proc/stat") as f:
             parts = f.readline().split()
-        return (int(parts[1]) + int(parts[3])) / os.sysconf("SC_CLK_TCK")
+        tck = os.sysconf("SC_CLK_TCK")
+        return (int(parts[1]) + int(parts[3]) + int(parts[5])) / tck
 
     a = snap()
     time.sleep(interval)
@@ -378,8 +388,13 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
 
     _wait_quiet()
     t0 = time.monotonic()
-    machine0 = _machine_cpu_seconds()
+    machine0, iowait0 = _machine_cpu_seconds()
     n_copies = max(CPUS // n_cpus, 1)
+    # bound per-copy heap so n_copies JVMs cannot over-commit RAM and
+    # evict the page cache holding the (shm-resident) bench input —
+    # cache eviction re-routes timed scans to the contended shared disk
+    heap_gb = min(48, max(8, 80 // n_copies))
+    env = {**os.environ, "SPARK_DRIVER_MEM": f"{heap_gb}g"}
     procs = []
     for i in range(n_copies):
         lo_core, hi_core = i * n_cpus, (i + 1) * n_cpus - 1
@@ -391,7 +406,8 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
         if n_known is not None:
             cmd.append(str(n_known))
         procs.append(subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env=env,
         ))
     results = []
     try:
@@ -418,14 +434,19 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
     # mid-round poisons walls by up to 4x (observed), so the caller
     # discards rounds whose external load exceeds its threshold.
     window = time.monotonic() - t0
-    machine_cpu = _machine_cpu_seconds() - machine0
+    machine1, iowait1 = _machine_cpu_seconds()
+    machine_cpu = machine1 - machine0
     ours = sum(r.get("cpu_s", 0.0) for r in results)
     external = max(machine_cpu - ours, 0.0) / max(window, 1e-9)
+    # whole-machine iowait: with the bench input on tmpfs our own I/O is
+    # page-cache-only, so sustained iowait = co-tenant disk pressure
+    iowait_cores = (iowait1 - iowait0) / max(window, 1e-9)
     return {
         "wall": max(r["wall"] for r in results),
         "docs": results[0]["docs"],
         "copies": n_copies,
         "external_cores": round(external, 2),
+        "iowait_cores": round(iowait_cores, 2),
     }
 
 
@@ -481,6 +502,19 @@ def main() -> None:
     if scaling:
         scale_input = synthesize_pages(spark, SF_DIR, SCALE_REPLICAS)
         spark.stop()
+        # stage the input on tmpfs: the shared sandbox DISK is the
+        # co-tenants' battleground (I/O-bound bursts, load 25 at ~0 busy
+        # cores); RAM-resident input decouples the measurement from it.
+        # A cluster reads from distributed storage whose bandwidth scales
+        # with nodes, so local-disk contention is an artifact anyway.
+        import shutil
+
+        shm_input = os.path.join(
+            "/dev/shm", "p2l_scale_" + os.path.basename(scale_input)
+        )
+        if not os.path.exists(shm_input):
+            shutil.copytree(scale_input, shm_input)
+        scale_input = shm_input
         lo, hi = max(CPUS // 4, 1), CPUS
         # PAIRED rounds: each round measures low then high back-to-back,
         # so both see the same machine state (co-tenant bursts last
@@ -508,13 +542,14 @@ def main() -> None:
             n_docs_scale = r_lo["docs"]
             r_hi = _run_pinned(hi, scale_input, n_docs_scale)
             ext = max(r_lo["external_cores"], r_hi["external_cores"])
-            all_rounds.append((r_lo["wall"], r_hi["wall"], ext))
-            clean = ext <= EXT_LIMIT
+            iow = max(r_lo["iowait_cores"], r_hi["iowait_cores"])
+            all_rounds.append((r_lo["wall"], r_hi["wall"], max(ext, iow)))
+            clean = ext <= EXT_LIMIT and iow <= EXT_LIMIT
             print(
                 f"round: local[{lo}]={r_lo['wall']:.2f}s "
-                f"(ext {r_lo['external_cores']}) "
+                f"(ext {r_lo['external_cores']} iow {r_lo['iowait_cores']}) "
                 f"local[{hi}]={r_hi['wall']:.2f}s "
-                f"(ext {r_hi['external_cores']})"
+                f"(ext {r_hi['external_cores']} iow {r_hi['iowait_cores']})"
                 + ("" if clean else "  DISCARDED: co-tenant load"),
                 file=sys.stderr,
             )
