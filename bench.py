@@ -82,7 +82,10 @@ BENCH_SCAN_CONF = {
 }
 
 
-METHOD_V = 2  # scaling methodology version; gates merging of saved rounds
+METHOD_V = 3  # scaling methodology version; gates merging of saved rounds
+# v3: tmpfs-staged input, bounded per-copy heap, best-anchored
+# consistency filter (v2 rounds measured against the shared disk are
+# not comparable)
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -529,14 +532,24 @@ def main() -> None:
         # understated efficiency by 0.3.) Merged against the previously
         # saved round so repeated invocations monotonically converge.
         n_docs_scale = None
-        rounds: list[tuple[float, float]] = []
         all_rounds: list[tuple[float, float, float]] = []  # (lo, hi, ext)
-        # a round is CLEAN only if co-tenant load stayed under EXT_LIMIT
-        # cores for both levels — bursts that start mid-measurement are
-        # invisible to the quiescence gate and poison walls by up to 4x
+        # a round is detection-CLEAN if co-tenant load stayed under
+        # EXT_LIMIT cores for both levels — bursts that start
+        # mid-measurement are invisible to the quiescence gate and
+        # poison walls by up to 4x
         EXT_LIMIT, TARGET_ROUNDS, MAX_ATTEMPTS = 2.0, 3, 8
+        CONSISTENCY_X = 1.25
         attempts = 0
-        while len(rounds) < TARGET_ROUNDS and attempts < MAX_ATTEMPTS:
+
+        def _consistent(cands: list[tuple[float, float, float]]):
+            lo_best = min(l for l, _h, _e in cands)
+            hi_best = min(h for _l, h, _e in cands)
+            return [
+                (l, h) for l, h, _e in cands
+                if l <= CONSISTENCY_X * lo_best and h <= CONSISTENCY_X * hi_best
+            ]
+
+        while attempts < MAX_ATTEMPTS:
             attempts += 1
             r_lo = _run_pinned(lo, scale_input, n_docs_scale)
             n_docs_scale = r_lo["docs"]
@@ -550,15 +563,25 @@ def main() -> None:
                 f"(ext {r_lo['external_cores']} iow {r_lo['iowait_cores']}) "
                 f"local[{hi}]={r_hi['wall']:.2f}s "
                 f"(ext {r_hi['external_cores']} iow {r_hi['iowait_cores']})"
-                + ("" if clean else "  DISCARDED: co-tenant load"),
+                + ("" if clean else "  flagged: co-tenant load"),
                 file=sys.stderr,
             )
-            if clean:
-                rounds.append((r_lo["wall"], r_hi["wall"]))
+            if len(_consistent(all_rounds)) >= TARGET_ROUNDS:
+                break
+        # FINAL ARBITER — best-anchored consistency over ALL measured
+        # rounds. The /proc-based detection misses contention channels
+        # (host-kernel storms from co-tenant containers are invisible to
+        # a namespaced /proc/stat), but physics is reliable: contention
+        # only ever SLOWS a reading, so the fastest wall at each level is
+        # the least contaminated, and a round is trustworthy iff BOTH its
+        # levels are within CONSISTENCY_X of their level's best. This
+        # keeps quiet-quiet rounds (machine state controlled within the
+        # pair) and rejects rounds where a burst hit one level.
+        rounds = _consistent(all_rounds)
         contaminated = not rounds
-        if contaminated:
-            # nothing clean after MAX_ATTEMPTS: report the measured
-            # rounds with the contamination flag rather than nothing
+        if not rounds:
+            # lo_best and hi_best came from different rounds and nothing
+            # was quiet at both levels: report everything, flagged
             rounds = [(l, h) for l, h, _ in all_rounds]
 
         # UNSELECTED statistic first (VERDICT r01 #3): per-round paired
@@ -613,12 +636,15 @@ def main() -> None:
             "method": (
                 "self-contention emulation: low level = 4 concurrent "
                 "taskset-pinned copies on disjoint core sets (slowest copy "
-                "reported), high level = whole box; paired rounds; rounds "
-                "with co-tenant load > 2 cores during the window (machine "
-                "CPU minus our process-tree CPU) are discarded and "
-                "re-measured. efficiency = best clean round by high-level "
-                "wall (merged with saved rounds); efficiency_median = "
-                "median of this run's clean paired rounds, unselected"
+                "reported), high level = whole box; paired rounds, "
+                "repeated until >=3 pass best-anchored consistency (both "
+                "levels within 1.25x of their level's fastest measured "
+                "wall — contention only slows readings, so near-best at "
+                "both levels = quiet at both levels); /proc-based "
+                "co-tenant load flags are advisory. efficiency = best "
+                "consistent round by high-level wall (merged with saved "
+                "rounds); efficiency_median = median of consistent "
+                "rounds, unselected"
             ),
         }
         os.makedirs("BENCH", exist_ok=True)
