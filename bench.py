@@ -352,6 +352,59 @@ def _busy_cores(interval: float = 1.0) -> float:
     return (snap() - a) / interval
 
 
+def _probe_task(mb: int) -> str:
+    import hashlib
+
+    buf = b"x" * (mb << 20)
+    h = hashlib.sha256()
+    for _ in range(4):
+        h.update(buf)
+    return h.hexdigest()[:4]
+
+
+_PROBE_BEST: list[float] = []
+
+
+def _quiet_probe(n_procs: int | None = None, mb: int = 24) -> float:
+    """~2 s whole-box CPU+memory-bandwidth probe (32 procs hashing
+    100 MB each). Co-tenant storms on this sandbox are INVISIBLE to
+    /proc (namespaced stats, host-kernel contention) but they slow any
+    real work — so the probe IS the detector: its wall time vs the best
+    ever seen directly measures effective machine speed."""
+    from multiprocessing import Pool
+
+    t0 = time.monotonic()
+    with Pool(n_procs or CPUS) as p:
+        p.map(_probe_task, [mb] * (n_procs or CPUS))
+    return time.monotonic() - t0
+
+
+def _wait_probe_quiet(
+    slack: float = 1.15, poll_s: float = 20.0, max_wait_s: float = 900.0
+) -> float:
+    """Block until the machine-speed probe is within ``slack`` of the
+    best probe ever observed this run (or give up after max_wait_s).
+    Rounds started inside a co-tenant storm waste 4 minutes producing
+    walls inflated up to 4x; a 2 s probe every poll_s finds the quiet
+    window first. Returns the last probe reading."""
+    t0 = time.monotonic()
+    while True:
+        p = _quiet_probe()
+        if _PROBE_BEST:
+            _PROBE_BEST[0] = min(_PROBE_BEST[0], p)
+        else:
+            _PROBE_BEST.append(p)
+        if p <= slack * _PROBE_BEST[0]:
+            return p
+        if time.monotonic() - t0 > max_wait_s:
+            return p
+        print(
+            f"  probe {p:.2f}s vs best {_PROBE_BEST[0]:.2f}s — waiting for "
+            f"a quiet window", file=sys.stderr,
+        )
+        time.sleep(poll_s)
+
+
 def _wait_quiet(threshold_cores: float = 3.0, max_wait_s: float = 180.0) -> float:
     """Block until external machine load drops below ``threshold_cores``
     (or give up after ``max_wait_s``). The sandbox has bursty co-tenants;
@@ -389,7 +442,7 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
     """
     import subprocess
 
-    _wait_quiet()
+    probe = _wait_probe_quiet()
     t0 = time.monotonic()
     machine0, iowait0 = _machine_cpu_seconds()
     n_copies = max(CPUS // n_cpus, 1)
@@ -450,6 +503,7 @@ def _run_pinned(n_cpus: int, input_path: str, n_known: int | None = None) -> dic
         "copies": n_copies,
         "external_cores": round(external, 2),
         "iowait_cores": round(iowait_cores, 2),
+        "probe": round(probe, 2),
     }
 
 
@@ -560,9 +614,11 @@ def main() -> None:
             clean = ext <= EXT_LIMIT and iow <= EXT_LIMIT
             print(
                 f"round: local[{lo}]={r_lo['wall']:.2f}s "
-                f"(ext {r_lo['external_cores']} iow {r_lo['iowait_cores']}) "
+                f"(probe {r_lo['probe']} ext {r_lo['external_cores']} "
+                f"iow {r_lo['iowait_cores']}) "
                 f"local[{hi}]={r_hi['wall']:.2f}s "
-                f"(ext {r_hi['external_cores']} iow {r_hi['iowait_cores']})"
+                f"(probe {r_hi['probe']} ext {r_hi['external_cores']} "
+                f"iow {r_hi['iowait_cores']})"
                 + ("" if clean else "  flagged: co-tenant load"),
                 file=sys.stderr,
             )
