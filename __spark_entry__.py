@@ -176,17 +176,59 @@ FROM src
 """
 
 
+def _stream_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming extract (SURVEY.md §2.10) as a driver query.
+
+    Writes the synthesized pages as parquet files in TWO waves and
+    drains each with a separate ``trigger(availableNow=True)`` run of
+    the streaming job — the second drain's file-source checkpoint skips
+    wave 1, so the green row certifies exactly-once incremental
+    processing, not just a batch rerun. The combined output must be
+    byte-identical to the batch pipeline, so the flagship's DuckDB dual
+    (_EXTRACT_PIPELINE_SQL) is the oracle here too."""
+    import shutil
+    import tempfile
+
+    from paper2llm_spark.streaming.incremental import incremental_extract
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"p2l_stream_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir = os.path.join(work, "pages")
+    out_dir = os.path.join(work, "out")
+
+    from pyspark.sql import functions as F
+
+    pages = _synth_pages(spark, sf_dir)
+    wave1 = pages.filter(F.xxhash64("url") % 2 == 0)
+    wave2 = pages.filter(F.xxhash64("url") % 2 != 0)
+    wave1.repartition(4).write.mode("overwrite").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir).awaitTermination()
+    wave2.repartition(4).write.mode("append").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir).awaitTermination()
+
+    return spark.read.parquet(os.path.join(out_dir, "extracted")).select(
+        "url", "markdown", "main_content", "backmatter", "title",
+        "page_count", "model", "bibtex_key",
+    )
+
+
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
-        dedup, multimodal, refscalars, relational, similarity, textstats,
+        curation, dedup, multimodal, refscalars, relational, similarity,
+        textstats,
     )
 
     registry: dict[str, tuple] = {}
-    for module in (dedup, similarity, textstats, relational, multimodal, refscalars):
+    for module in (dedup, similarity, textstats, relational, multimodal,
+                   refscalars, curation):
         registry.update(module.QUERIES)
     registry["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     registry["extract_html_pipeline_desc"] = (
         _extract_pipeline_desc_query, _EXTRACT_PIPELINE_SQL,
+    )
+    registry["stream_extract_incremental"] = (
+        _stream_extract_query, _EXTRACT_PIPELINE_SQL,
     )
     return registry
 

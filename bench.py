@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
+    "dedup_lsh_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash60",
     "ann_cosine_topk",

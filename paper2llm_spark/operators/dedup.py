@@ -247,6 +247,113 @@ FROM bands a JOIN bands b
 
 
 # ---------------------------------------------------------------------------
+# LSH duplicate clusters (connected components + canonical doc)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Connected components of an undirected graph by min-label
+    propagation: ``label(v) <- min(label(v), min over neighbors)`` until
+    fixpoint. Returns (node, cluster) for every node with >= 1 edge.
+
+    Each iteration is two short-key shuffles (attach labels to edge
+    sources, min-combine per destination) — both map-side combinable —
+    plus a broadcast-free equi-join back onto the label table;
+    ``localCheckpoint`` truncates the lineage so the plan does not grow
+    with the iteration count. Convergence takes O(diameter) rounds;
+    near-dup clusters are dense (a duplicate family shares most
+    shingles, so LSH connects most pairs directly), making the observed
+    diameter tiny. For adversarial chain-shaped graphs at 10^12 nodes
+    the known upgrade is the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log n) rounds with the same per-round shape.
+    The driver-side loop iterates over DataFrame handles only — no row
+    data ever reaches the driver (the convergence check is an agg down
+    to one long)."""
+    both = edges.union(
+        edges.select(edges.columns[1], edges.columns[0])
+    ).toDF("src", "dst")
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            both.join(labels, both.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.agg(
+            F.sum(F.col("changed").cast("long")).alias("c")
+        ).first()["c"]
+        labels = new_labels.drop("changed")
+        if not n_changed:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def lsh_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve LSH candidate pairs into duplicate clusters and pick the
+    canonical document (min doc_id) per cluster — the step that turns
+    pair-finding into an actionable keep/drop decision for a training
+    corpus. Output: one row per document with its cluster id and
+    whether it is the kept representative.
+
+    Scale: the pair graph is the (bounded) LSH join output, orders of
+    magnitude smaller than the corpus; components converge in
+    O(cluster diameter) rounds; the final left join back onto documents
+    is a shuffle on doc_id (or a broadcast when the dup graph is small
+    relative to the corpus, the common case)."""
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        (
+            F.col("doc_id") == F.coalesce("cluster", F.col("doc_id"))
+        ).alias("keep"),
+    )
+
+
+LSH_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node, min(root) AS cluster FROM walk GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.cluster, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
@@ -412,6 +519,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "dedup_lsh_pairs": (lsh_candidate_pairs, LSH_PAIRS_SQL),
+    "dedup_lsh_clusters": (lsh_duplicate_clusters, LSH_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_simhash60": (simhash60, SIMHASH_SQL),
 }

@@ -38,8 +38,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language ID (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("toks"))
+def with_lang(docs: DataFrame) -> DataFrame:
+    """Append per-language marker scores + ``pred_lang`` to a frame
+    carrying a staged ``toks`` column (shared by the standalone query
+    and the fused curation pipeline — composition stays single-pass)."""
     scored = docs
     for lang, markers in _LANG_MARKERS.items():
         scored = scored.withColumn(
@@ -52,10 +54,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = F.when(
             (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
         ).otherwise(pred)
-    return scored.select(
+    return scored.withColumn("pred_lang", pred)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", tokens(F.col("text")).alias("toks"))
+    return with_lang(docs).select(
         "doc_id",
         *[F.col(f"score_{lang}") for lang in _LANG_ORDER],
-        pred.alias("pred_lang"),
+        "pred_lang",
     )
 
 
@@ -89,11 +96,9 @@ LANG_ID_SQL = _lang_id_sql()
 _STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it"]
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stage tokens into a bound attribute (see dedup._shingled note)
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", "text", tokens(F.col("text")).alias("toks")
-    )
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append n_chars/n_words/ratios/``quality`` to a frame carrying
+    ``text`` and a staged ``toks`` column."""
     toks = F.col("toks")
     n_chars = F.length("text").cast("bigint")
     n_words = F.size(toks).cast("bigint")
@@ -119,14 +124,24 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.2) * F.least(n_words / F.lit(100.0), F.lit(1.0))
     )
     score = F.floor(raw_score * 10000 + F.lit(0.5)) / 10000
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        stop_ratio.alias("stop_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        score.alias("quality"),
+    return (
+        docs.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage tokens into a bound attribute (see dedup._shingled note)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    return with_quality(docs).select(
+        "doc_id", "n_chars", "n_words", "avg_word_len",
+        "stop_ratio", "punct_ratio", "quality",
     )
 
 
@@ -330,8 +345,90 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / phone / IP redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded repeats, \. escapes —
+# no lookarounds, no backrefs. Applied email-first so the address's
+# dotted host can't be half-eaten by the IP rule.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,10}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# The corpus is clean word-soup, so a scrub over raw `text` would be a
+# vacuous 0-redaction check; plant deterministic PII for 2 of every 3
+# docs (the third proves the identity path) — same SQL template on both
+# engines, same trick as ref_url_normalize.
+_PII_PLANT = (
+    "CASE WHEN doc_id % 3 = 0 THEN text ELSE "
+    "text || ' Contact user' || doc_id || '@example.com or call "
+    "+1-555-' || (1000 + doc_id % 9000) || ' from 10.0.' || (doc_id % 256) "
+    "|| '.' || ((doc_id * 7) % 256) || '.' END"
+)
+
+
+def with_pii_scrub(docs: DataFrame) -> DataFrame:
+    """Append ``clean`` + per-kind redaction counts to a frame carrying
+    a ``pii_text`` column."""
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.withColumn("clean", clean)
+        .withColumn(
+            "n_emails",
+            F.regexp_count("pii_text", F.lit(PII_EMAIL_RE)).cast("bigint"),
+        )
+        .withColumn(
+            "n_phones",
+            F.regexp_count("pii_text", F.lit(PII_PHONE_RE)).cast("bigint"),
+        )
+        .withColumn(
+            "n_ips",
+            F.regexp_count("pii_text", F.lit(PII_IP_RE)).cast("bigint"),
+        )
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones/IPs and count each — the standard compliance
+    pass before training-corpus publication. Pure regexp_replace /
+    regexp_count expressions: whole-stage codegen, shuffle-free,
+    trivially scalable (per-row CPU only)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_PLANT).alias("pii_text")
+    )
+    return with_pii_scrub(docs).select(
+        "doc_id", "clean", "n_emails", "n_phones", "n_ips"
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH p AS (SELECT doc_id, {_PII_PLANT} AS pii_text FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(pii_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean,
+       len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(pii_text, '{PII_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(pii_text, '{PII_IP_RE}')) AS n_ips
+FROM p
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
+    "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_token_count": (token_count, TOKEN_COUNT_SQL),
     "text_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
