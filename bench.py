@@ -522,6 +522,11 @@ def main() -> None:
     spark = get_spark(app_name="p2l-bench", cpus=CPUS, extra_conf=BENCH_SCAN_CONF)
     input_path = synthesize_pages(spark, SF_DIR)
 
+    # co-tenant storms depress the headline up to 2x and are invisible
+    # to namespaced /proc; wait (bounded) for a machine-speed-probe
+    # quiet window before the timed runs, same gate the scaling rounds
+    # use (an overlapped burst once shaved the headline 20.5k -> 17.7k)
+    _wait_probe_quiet(max_wait_s=240.0)
     extract_wall, n_docs = run_extraction(spark, input_path)
     qtimes = run_queries(spark, SF_DIR)
     qtimes["extract_pipeline"] = round(extract_wall, 3)

@@ -116,6 +116,46 @@ def test_skew_join_conf_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
+def test_curation_enrichment_is_fused_single_pass(spark):
+    """lang + quality + PII are all projections of ``text``; the curation
+    pipeline must compute them in ONE pass over the scan — zero joins,
+    zero hash exchanges (the naive operator-output composition would
+    self-join the corpus on doc_id four times)."""
+    from paper2llm_spark.functions.text import tokens
+    from paper2llm_spark.operators.curation import _PII_PLANT
+    from paper2llm_spark.operators.textstats import (
+        _docs, with_lang, with_pii_scrub, with_quality,
+    )
+
+    staged = _docs(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text",
+        tokens(F.col("text")).alias("toks"),
+        F.expr(_PII_PLANT).alias("pii_text"),
+    )
+    plan = _physical(with_pii_scrub(with_quality(with_lang(staged))))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan  # round-robin spread only
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark):
+    from paper2llm_spark.operators.textstats import pii_scrub
+
+    plan = _physical(pii_scrub(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    # JVM expressions only (an AQE plan shows codegen spans only after
+    # execution, so assert the absence of Python eval nodes instead)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_clusters_joins_are_equi_joins(spark):
+    from paper2llm_spark.operators.dedup import lsh_duplicate_clusters
+
+    plan = _physical(lsh_duplicate_clusters(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ngram_jaccard_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
     """Hot-shingle guard: a stop-shingle shared by every document must NOT
     reach the shingle self-join. 100 docs sharing one trigram would make
