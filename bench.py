@@ -51,7 +51,9 @@ BENCH_QUERIES = [
     "dedup_lsh_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash60",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_kmeans_cells",
     "ann_lsh_buckets",
     "ann_ivf_topk",
     "dedup_embedding_cosine",

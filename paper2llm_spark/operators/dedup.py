@@ -522,6 +522,72 @@ FROM sums GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (banded hamming join)
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAM_MAX = 3
+SIMHASH_BANDS = 4  # 4 x 15-bit chunks of the 60-bit hash
+_CHUNK_BITS = 60 // SIMHASH_BANDS
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= SIMHASH_HAM_MAX,
+    via the banded equi-join: split the 60-bit hash into 4 x 15-bit
+    chunks; any pair within hamming 3 differs in at most 3 chunks, so by
+    pigeonhole it collides on at least one — the band join has EXACT
+    recall at this radius while keying the shuffle on short ints
+    (bucket-bounded fanout, the same scale shape as the MinHash-LSH
+    join; no all-pairs comparison ever materializes)."""
+    sig = simhash60(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", _CHUNK_BITS * b)
+                    .bitwiseAND(F.lit(_CHUNK_MASK))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).cast("bigint").alias("ham"),
+    )
+    return cand.filter(F.col("ham") <= SIMHASH_HAM_MAX).distinct()
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> ({_CHUNK_BITS} * band)) & {_CHUNK_MASK} AS chunk
+  FROM s, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ham FROM cand WHERE ham <= {SIMHASH_HAM_MAX}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
@@ -529,4 +595,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_lsh_clusters": (lsh_duplicate_clusters, LSH_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_simhash60": (simhash60, SIMHASH_SQL),
+    "dedup_simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
 }

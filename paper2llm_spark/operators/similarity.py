@@ -331,8 +331,124 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means trained quantizer (Lloyd iterations) — the IVF upgrade path
+# ---------------------------------------------------------------------------
+
+N_KMEANS_ITERS = 2  # fixed + deterministic so the DuckDB dual is exact
+
+
+def _l2_expr(vcol, centroid: list[float]):
+    """Rounded euclidean distance to a literal centroid (6dp so the
+    argmin is float-order-stable across engines)."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(vcol, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+
+
+def _assign_expr(vcol, centroids: list[list[float]]):
+    """argmin_i ||v - c_i||, 1-indexed, first-min-wins tie-break (same
+    order as the dual's ``ORDER BY dist, cell``)."""
+    dists = F.array(*[_l2_expr(vcol, c) for c in centroids])
+    return F.array_position(dists, F.array_min(dists)).cast("bigint")
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer TRAINED with Lloyd's k-means (fixed
+    N_KMEANS_ITERS rounds from the md5-seeded init), then the final cell
+    assignment per vector.
+
+    This is the canonical distributed k-means shape (what MLlib KMeans
+    runs): each iteration is ONE map-side-combinable groupBy(cell) with
+    DIM codegen'd avg aggregates — the corpus is scanned once per round
+    and only O(k * DIM) centroid state crosses to the driver (the same
+    sync MLlib does per iteration; this is state, not data, so it does
+    not violate the no-driver-loops rule). Assignment stays a literal
+    codegen expression both rounds because the synced centroids are
+    re-inlined. Centroid components and distances round to 6dp so
+    Spark's partial-agg summation order cannot flip an argmin vs
+    DuckDB's. Production config iterates to an eps-based stop instead of
+    a fixed count; the fixed count keeps the cross-engine gate exact."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [list(c) for c in CENTROIDS]
+    for _ in range(N_KMEANS_ITERS):
+        assigned = emb.select(
+            "vec_id", "v", _assign_expr(F.col("v"), cents).alias("cell")
+        )
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.element_at("v", d + 1)), 6).alias(f"c{d}")
+                for d in range(DIM)
+            ]
+        )
+        got = {
+            int(r["cell"]): [r[f"c{d}"] for d in range(DIM)]
+            for r in means.collect()
+        }
+        # empty cells keep their previous centroid (mirrored by the
+        # dual's LEFT JOIN + coalesce)
+        cents = [got.get(i + 1, cents[i]) for i in range(N_CELLS)]
+    return emb.select(
+        "vec_id", _assign_expr(F.col("v"), cents).alias("cell")
+    )
+
+
+def _kmeans_sql() -> str:
+    c0_rows = ",\n    ".join(
+        f"({i + 1}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(CENTROIDS)
+    )
+    avg_terms = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(DIM))
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0(cell, c) AS (VALUES
+    {c0_rows})"""
+    prev = "c0"
+    for it in range(N_KMEANS_ITERS):
+        a, u, c = f"a{it + 1}", f"u{it + 1}", f"c{it + 1}"
+        sql += f""",
+{a} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, {prev}.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.v, {prev}.c), 6), {prev}.cell
+           ) AS rn
+    FROM e CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+{u}(cell, c) AS (SELECT cell, [{avg_terms}] FROM {a} GROUP BY cell),
+{c} AS (SELECT p.cell, coalesce(u.c, p.c) AS c
+        FROM {prev} p LEFT JOIN {u} u ON u.cell = p.cell)"""
+        prev = c
+    sql += f"""
+SELECT vec_id, cell FROM (
+  SELECT e.vec_id, {prev}.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_distance(e.v, {prev}.c), 6), {prev}.cell
+         ) AS rn
+  FROM e CROSS JOIN {prev}
+) WHERE rn = 1"""
+    return sql
+
+
+KMEANS_CELLS_SQL = _kmeans_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "ann_kmeans_cells": (kmeans_cells, KMEANS_CELLS_SQL),
     "ann_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "ann_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "dedup_embedding_cosine": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
