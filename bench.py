@@ -726,6 +726,14 @@ def main() -> None:
                 result["scaling"] = json.load(f)
         except Exception:
             pass
+        # current run stays in `value` (regressions visible); best-known
+        # quiet-window reading rides along so a reading taken inside a
+        # co-tenant storm (bounded probe wait can expire mid-storm) is
+        # distinguishable from an actual regression
+        best_known = result.get("scaling", {}).get(
+            "headline_best", result.get("scaling", {}).get("headline", 0)
+        )
+        result["value_best"] = max(result["value"], best_known or 0)
 
     print(json.dumps(result))
 
