@@ -255,23 +255,30 @@ CC_MAX_ITERS = 20
 
 def connected_components(edges: DataFrame) -> DataFrame:
     """Connected components of an undirected graph by min-label
-    propagation: ``label(v) <- min(label(v), min over neighbors)`` until
-    fixpoint. Returns (node, cluster) for every node with >= 1 edge.
+    propagation with pointer doubling: each round does one hop
+    (``label(v) <- min(label(v), min over neighbors)``) then one
+    shortcut (``label(v) <- label(label(v))``) until fixpoint. Returns
+    (node, cluster) for every node with >= 1 edge.
+
+    The shortcut step is the scale-critical piece: pure hop propagation
+    converges in O(diameter) rounds, so an adversarial chain-shaped dup
+    graph (scraper mirrors of mirrors) would blow any fixed round cap.
+    Hop+shortcut doubles the propagated distance per round — the
+    distance-to-min grows ~2^k, so CC_MAX_ITERS=20 covers diameters up
+    to ~2 million, and the loop still exits early (changed==0) on the
+    dense diameter-1 families that dominate real LSH output. Same
+    complexity class as alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce") with one
+    fewer join per round.
 
     Each iteration is two short-key shuffles (attach labels to edge
     sources, min-combine per destination) — both map-side combinable —
-    plus a broadcast-free equi-join back onto the label table;
-    ``localCheckpoint`` truncates the lineage so the plan does not grow
-    with the iteration count. Convergence takes O(diameter) rounds;
-    near-dup clusters are dense (a duplicate family shares most
-    shingles, so LSH connects most pairs directly), making the observed
-    diameter tiny. For adversarial chain-shaped graphs at 10^12 nodes
-    the known upgrade is the alternating large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce"),
-    which converges in O(log n) rounds with the same per-round shape.
-    The driver-side loop iterates over DataFrame handles only — no row
-    data ever reaches the driver (the convergence check is an agg down
-    to one long)."""
+    plus two broadcast-free equi-joins on the label table (hop
+    write-back, then the label-to-label shortcut); ``localCheckpoint``
+    truncates the lineage so the plan does not grow with the iteration
+    count. The driver-side loop iterates over DataFrame handles only —
+    no row data ever reaches the driver (the convergence check is an
+    agg down to one long)."""
     # materialize the edge list ONCE: the loop's joins and convergence
     # counts re-execute their inputs every iteration, and `edges` is
     # typically an expensive subtree (the full LSH candidate pipeline) —
@@ -294,14 +301,34 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
+        hop = labels.join(
+            neighbor_min, labels.node == neighbor_min.dst, "left"
+        ).select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(
+                F.col("label"), F.coalesce("nmin", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label <- label(label). The parent side is
+        # the same table re-keyed by node, so this is a self equi-join
+        # on the (short) label key.
+        parent = hop.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            hop.join(parent, hop.label == parent.pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                    F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
+                (
+                    F.least(
+                        F.col("label"), F.coalesce("plabel", F.col("label"))
+                    )
+                    < F.col("old")
+                ).alias("changed"),
             )
             .localCheckpoint()
         )
@@ -311,6 +338,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
         labels = new_labels.drop("changed")
         if not n_changed:
             break
+    else:
+        # a silent partial result would mislabel clusters; with pointer
+        # doubling this cap corresponds to diameter ~2^CC_MAX_ITERS, so
+        # hitting it means the input is not a plausible dup graph —
+        # fail loudly rather than return wrong labels
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} "
+            "hop+shortcut rounds (diameter beyond ~2^20); inspect the "
+            "edge list — this is not a plausible duplicate graph"
+        )
     return labels.select("node", F.col("label").alias("cluster"))
 
 

@@ -24,6 +24,15 @@ def test_chain_graph_needs_multiple_hops(spark):
     assert labels == {i: 0 for i in range(6)}
 
 
+def test_long_chain_converges_within_round_cap(spark):
+    # 120-node path graph: pure one-hop propagation needs 119 rounds
+    # and would trip the CC_MAX_ITERS=20 guard; passing proves the
+    # pointer-doubling shortcut gives O(log diameter) convergence
+    n = 120
+    labels = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+    assert labels == {i: 0 for i in range(n)}
+
+
 def test_two_components_and_unsorted_edges(spark):
     labels = _cc(spark, [(7, 3), (3, 9), (20, 11)])
     assert labels == {3: 3, 7: 3, 9: 3, 11: 11, 20: 11}
