@@ -72,3 +72,36 @@ SQL_TRIGRAMS = (
     "i -> {tok}[i] || ' ' || {tok}[i+1] || ' ' || {tok}[i+2]) "
     "else [] end)"
 )
+
+
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """Word n-gram shingles (space-joined); < n tokens -> empty array.
+
+    Generalizes :func:`word_trigrams`; same 1-indexed `element_at`
+    arithmetic so :func:`sql_ngrams` is the byte-equal DuckDB twin.
+    """
+    if n == 1:
+        return tokens_col
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_ngrams(tok_expr: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams` (1-indexed lists)."""
+    if n == 1:
+        return tok_expr
+    joined = " || ' ' || ".join(
+        f"{tok_expr}[i]" if j == 0 else f"{tok_expr}[i+{j}]" for j in range(n)
+    )
+    return (
+        f"(case when len({tok_expr}) >= {n} then "
+        f"list_transform(range(1, len({tok_expr}) - {n - 2}), i -> {joined}) "
+        f"else [] end)"
+    )

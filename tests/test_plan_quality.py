@@ -209,3 +209,52 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
         for r in con.sql(dedup.NGRAM_JACCARD_SQL).fetchdf().to_dict("records")
     }
     assert {k: float(v) for k, v in got.items()} == duck
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-suite gram set is MBs against a TB corpus: the overlap
+    join MUST be a broadcast hash join, never sort-merge or cartesian."""
+    from paper2llm_spark.operators.webstats import decontaminate
+
+    plan = _physical(decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_keeps_partial_aggregation(spark):
+    """Both gram aggregations must keep their map-side partial phase —
+    the corpus-sized shuffle carries partial counts, not raw grams."""
+    from paper2llm_spark.operators.webstats import repetition_stats
+
+    plan = _physical(repetition_stats(spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_exchange_no_range_blowup(spark):
+    """The as-of join is union + window: exactly ONE hash exchange (on
+    user_id) and no join operator at all — a range-join formulation
+    would show a CartesianProduct/BNLJ and explode at scale."""
+    from paper2llm_spark.operators.webstats import asof_join
+
+    plan = _physical(asof_join(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_stratified_sample_is_scan_side_only(spark):
+    """Deterministic sampling is a pure scan-side filter: zero exchanges,
+    and the scan reads only the two needed columns."""
+    from paper2llm_spark.operators.webstats import stratified_sample
+
+    plan = _physical(stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
