@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     "ref_word_count",
     "mm_binary_meta",
     "mm_frame_sample",
+    "text_pii_scrub",
+    "corpus_curation",
+    "text_repetition_stats",
+    "decontaminate_ngram_overlap",
+    "events_sessionize",
+    "events_asof_join",
+    "corpus_stratified_sample",
 ]
 
 
