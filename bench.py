@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_join",
     "corpus_stratified_sample",
+    "corpus_window_dedup",
+    "corpus_domain_stats",
+    "corpus_domain_cap",
+    "text_unigram_logprob",
 ]
 
 

@@ -258,3 +258,60 @@ def test_stratified_sample_is_scan_side_only(spark):
     assert "Exchange" not in plan
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" not in read_schema, read_schema
+
+
+def test_window_dedup_broadcasts_hot_set(spark):
+    """The duplicated-window hash set is the small side by construction
+    (the duplicated tail of the window distribution): its membership
+    probe must be a broadcast hash join, and the reassembly groupBy must
+    be the only corpus-sized exchange family — no sort-merge join."""
+    from paper2llm_spark.operators.webcorpus import window_dedup
+
+    plan = _physical(window_dedup(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_stats_single_partial_agg_prunes_text_early(spark):
+    """One aggregation with its map-side partial phase; the shuffle
+    carries per-(source, partition) counters, never document text."""
+    from paper2llm_spark.operators.webcorpus import domain_stats
+
+    plan = _physical(domain_stats(spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    # text collapses to the n_toks counter BELOW every hash shuffle
+    # (plans print sinks first, so deeper operators have larger offsets)
+    ntoks_at = plan.index("AS n_toks#")
+    ex = plan.find("Exchange hashpartitioning")
+    while ex != -1:
+        assert ex < ntoks_at, plan[ex : ex + 80]
+        ex = plan.find("Exchange hashpartitioning", ex + 1)
+
+
+def test_domain_cap_single_window_exchange(spark):
+    """Per-domain top-K is ONE exchange (the row_number window on
+    source); quality scoring adds no join and no extra shuffle."""
+    from paper2llm_spark.operators.webcorpus import domain_cap
+
+    plan = _physical(domain_cap(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The top-V vocabulary (and the 1-row total) are vocabulary-sized
+    state: every join in the scoring pass must be broadcast — a
+    sort-merge join would reshuffle the exploded token stream."""
+    from paper2llm_spark.operators.webcorpus import unigram_logprob
+
+    plan = _physical(unigram_logprob(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

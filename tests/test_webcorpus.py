@@ -1,0 +1,118 @@
+"""Semantic tests for the webcorpus operators (duplicated-block
+removal, domain stats, per-domain cap, unigram LM proxy).
+
+Cross-engine value equality vs DuckDB is covered by the parametrized
+oracle gate in test_driver_contract.py; these pin the SEMANTICS on
+crafted inputs where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from paper2llm_spark.operators.webcorpus import (
+    DOMAIN_CAP_K,
+    WINDOW_W,
+    domain_cap_frame,
+    domain_stats,
+    unigram_logprob_frame,
+    window_dedup_frame,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _doc(i, text, lang="en", source="s0"):
+    return (i, text, lang, source, len(text))
+
+
+def test_window_dedup_removes_shared_block_from_all_copies(spark):
+    shared = " ".join(f"w{i}" for i in range(WINDOW_W))  # one full window
+    uniq_a = " ".join(f"a{i}" for i in range(WINDOW_W))
+    uniq_b = " ".join(f"b{i}" for i in range(WINDOW_W))
+    rows = [
+        _doc(1, f"{shared} {uniq_a}"),
+        _doc(2, f"{shared} {uniq_b}"),
+        _doc(3, uniq_b.upper()),  # tokens lowercase -> dup of doc 2's tail
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in window_dedup_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    # the shared window is removed from BOTH docs 1 and 2
+    assert out[1]["n_windows"] == 2 and out[1]["n_dup_windows"] == 1
+    assert out[1]["clean_text"] == uniq_a
+    assert out[2]["n_dup_windows"] == 2  # shared + uniq_b (doc 3 copies it)
+    assert out[2]["clean_text"] == ""
+    assert out[3]["clean_text"] == ""
+
+
+def test_window_dedup_tail_window_and_intra_doc_repeat(spark):
+    # 15 tokens -> windows of 10 and 5 (short tail kept as a window)
+    base = " ".join(f"t{i}" for i in range(15))
+    rows = [_doc(1, base)]
+    r = window_dedup_frame(spark.createDataFrame(rows, DOC_SCHEMA)).collect()[0]
+    assert r["n_windows"] == 2 and r["n_dup_windows"] == 0
+    assert r["clean_text"] == base.lower()
+    # a window repeated INSIDE one doc counts as corpus-duplicated too
+    w = " ".join(f"x{i}" for i in range(WINDOW_W))
+    rows = [_doc(2, f"{w} {w}")]
+    r = window_dedup_frame(spark.createDataFrame(rows, DOC_SCHEMA)).collect()[0]
+    assert r["n_dup_windows"] == 2 and r["clean_text"] == ""
+
+
+def test_domain_cap_keeps_k_per_source_with_doc_id_tiebreak(spark):
+    # identical text -> identical quality; ties broken by doc_id asc
+    rows = [
+        _doc(i, "the quick brown fox and the lazy dog", source="hot")
+        for i in range(1, DOMAIN_CAP_K + 6)
+    ] + [_doc(100, "one two three", source="cold")]
+    out = domain_cap_frame(spark.createDataFrame(rows, DOC_SCHEMA))
+    got = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("max_id")
+    ).collect()
+    by_src = {r["source"]: (r["n"], r["max_id"]) for r in got}
+    assert by_src["hot"] == (DOMAIN_CAP_K, DOMAIN_CAP_K)  # ids 1..K kept
+    assert by_src["cold"] == (1, 100)
+
+
+def test_unigram_logprob_oov_floor_and_mean(spark):
+    # corpus: 'aa' x3, 'bb' x1 -> total 4. VOCAB_V=16 >= 2 so both in
+    # vocab; no OOV. doc 1 = 'aa aa aa', doc 2 = 'bb'
+    rows = [_doc(1, "aa aa aa"), _doc(2, "bb")]
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    lp = lambda p: math.floor(math.log(p) * 1e6 + 0.5) / 1e6
+    exp1 = math.floor(lp(3 / 4) * 10000 + 0.5) / 10000
+    exp2 = math.floor(lp(1 / 4) * 10000 + 0.5) / 10000
+    assert out[1]["n_oov"] == 0 and out[1]["avg_logprob"] == exp1
+    assert out[2]["avg_logprob"] == exp2
+
+
+def test_unigram_logprob_vocab_truncation_makes_oov(spark):
+    # 17 distinct tokens, one doc each +1 extra hit for first 16 so the
+    # 17th ('z') falls out of the top-16 vocab -> OOV floor ln(1/total)
+    toks = [f"t{i:02d}" for i in range(16)] + ["z"]
+    text = " ".join(toks) + " " + " ".join(toks[:16])
+    rows = [_doc(1, text)]
+    r = unigram_logprob_frame(spark.createDataFrame(rows, DOC_SCHEMA)).collect()[0]
+    assert r["n_tokens"] == 33 and r["n_oov"] == 1
+
+
+def test_domain_stats_counts(spark):
+    out = {
+        r["source"]: r
+        for r in domain_stats(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert len(out) == 20
+    r = out["src0"]
+    assert r["n_docs"] == 25 and r["n_langs"] >= 1
+    assert abs(r["avg_doc_tokens"] * r["n_docs"] - r["n_tokens"]) < 1
