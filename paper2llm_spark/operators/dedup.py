@@ -516,32 +516,53 @@ WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= {JACCARD_TH
 def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over distinct tokens (weight 1 per distinct token).
 
-    Plan: explode(token) -> ONE groupBy(doc) with 60 codegen'd bit-sum
-    aggregates -> pack. The explode(bit) alternative materializes
-    tokens x 60 rows and shuffles twice (measured ~11x slower at sf0.1);
-    this shape keeps the row count at tokens and both the sums and the
-    pack inside whole-stage codegen.
+    Plan: a pure scan-side fold — ZERO exchanges. Per-doc bit-ONES
+    counts accumulate in one `aggregate` pass over the token array (one
+    md5 per token, then a getbit/zip_with step over a shared bit-index
+    sequence), and the sign rule uses the integer identity
+    s_j = 2*ones_j - n >= 0  <=>  2*ones_j >= n, so the whole query is
+    scan -> project. The bit loop lives INSIDE the higher-order lambda
+    (getbit over a sequence), keeping the expression tree ~20 nodes:
+    an unrolled 60-branch CASE tree costs ~2 s of driver-side analysis
+    per job. Rejected shapes, measured at sf0.01/sf0.1: explode(token)
+    -> groupBy(doc) with 60 sum aggs shuffles docs x 61 columns;
+    explode(bit) materializes tokens x 60 rows and shuffles twice
+    (~11x); both also lose the zero-exchange property this fold has.
     """
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
     )
-    tok = docs.select("doc_id", F.explode("toks").alias("token"))
-    tok = tok.select("doc_id", portable_hash60(F.col("token")).alias("h"))
-    sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
-            ).alias(f"s{j}")
-            for j in range(60)
-        ]
+    bits = F.sequence(F.lit(0), F.lit(59))
+    hs = F.transform(F.col("toks"), lambda t: portable_hash60(t))
+    ones = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("bigint"), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bits, lambda j: F.call_function("getbit", h, j).cast("bigint")
+            ),
+            lambda a, b: a + b,
+        ),
     )
-    packed = None
-    for j in range(60):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        packed = term if packed is None else packed + term
-    return sums.select("doc_id", packed.alias("simhash"))
+    staged = docs.select(
+        "doc_id", F.size("toks").alias("n"), ones.alias("ones")
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            F.col("ones"),
+            bits,
+            lambda o, j: F.when(
+                o * 2 >= F.col("n"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), j.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    return staged.select("doc_id", packed.alias("simhash"))
 
 
 SIMHASH_SQL = f"""
@@ -576,8 +597,18 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole it collides on at least one — the band join has EXACT
     recall at this radius while keying the shuffle on short ints
     (bucket-bounded fanout, the same scale shape as the MinHash-LSH
-    join; no all-pairs comparison ever materializes)."""
-    sig = simhash60(spark, sf_dir)
+    join; no all-pairs comparison ever materializes).
+
+    The signature frame is persisted because BOTH self-join sides need
+    it and the scan-side fold in :func:`simhash60` leaves no exchange
+    for AQE to reuse: without the persist the fold (one md5 per token)
+    runs twice. Signatures are 16 bytes/doc — at 10^12 docs a
+    production run writes them to a table between the two stages; the
+    persist is the single-job equivalent (MEMORY_AND_DISK, spill-safe).
+    """
+    from pyspark import StorageLevel
+
+    sig = simhash60(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig.select(
         "doc_id",
         "simhash",

@@ -315,3 +315,13 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash60_is_shuffle_free_fold(spark):
+    """SimHash signatures fold scan-side over the token array: zero
+    exchanges (beyond the local-input spread) — the explode+groupBy
+    shape would shuffle docs x 61-column partial-agg rows."""
+    from paper2llm_spark.operators.dedup import simhash60
+
+    plan = _physical(simhash60(spark, "/root/testdata/sf0.001"))
+    assert "Exchange hashpartitioning" not in plan
