@@ -176,6 +176,103 @@ FROM src
 """
 
 
+_STREAM_SEQ = [0]  # unique memory-sink names per invocation
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events table into a streaming input dir (EVENTS_SCHEMA
+    column order, ts cast to the watermark-required TimestampType —
+    identity under the UTC-pinned session)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    in_dir = os.path.join(tempfile.gettempdir(), f"p2l_events_{tag}")
+    shutil.rmtree(in_dir, ignore_errors=True)
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .repartition(4)
+        .write.parquet(in_dir)
+    )
+    return in_dir
+
+
+def _stream_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows (SURVEY.md §2.10) as a driver query.
+
+    All event files drain in ONE micro-batch; ``availableNow`` then runs
+    the final flush batch with watermark = max(ts) - 10 min, emitting
+    exactly the windows whose end the watermark passed. That closed set
+    is a deterministic function of the corpus, so the DuckDB dual is the
+    same tumbling aggregate filtered to win_end <= max(ts) - 10 min
+    (at the millisecond precision Spark's watermark actually tracks)."""
+    from paper2llm_spark.streaming.windows import start_windowed_counts
+
+    in_dir = _stage_events(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"p2l_win_{_STREAM_SEQ[0]}"
+    q = start_windowed_counts(
+        spark, in_dir, query_name=name, max_files_per_trigger=64
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_WINDOWS_SQL = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+         time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS win_end,
+         event_type,
+         count(*)::BIGINT AS n_events,
+         sum(floor(value * 1000000 + 0.5))::BIGINT / 1000000.0 AS sum_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT win_start, win_end, event_type, n_events, sum_value
+FROM w
+WHERE epoch_ms(win_end) <= epoch_ms((SELECT max(ts) FROM events)) - 600000
+"""
+
+
+def _stream_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState) as a
+    driver query. One data batch + the availableNow flush batch: gap
+    closures happen inline, and the flush batch times out every open
+    session whose last event + 30 min is strictly below the final
+    watermark (= max(ts), zero delay). The closed set is therefore the
+    batch sessionizer's output minus each user's still-open tail — the
+    dual wraps webstats.SESSIONIZE_SQL with exactly that filter."""
+    from paper2llm_spark.streaming.sessions import start_sessionize
+
+    in_dir = _stage_events(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"p2l_sess_{_STREAM_SEQ[0]}"
+    q = start_sessionize(spark, in_dir, query_name=name, max_files_per_trigger=64)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_sessions_sql() -> str:
+    from paper2llm_spark.operators.webstats import SESSIONIZE_SQL
+
+    return f"""
+WITH s AS ({SESSIONIZE_SQL})
+SELECT user_id, session_id, n_events, session_start, session_end, sum_value
+FROM s
+WHERE session_id < (SELECT max(s2.session_id) FROM s s2
+                    WHERE s2.user_id = s.user_id)
+   OR epoch_ms(session_end) + 1800000 < epoch_ms((SELECT max(ts) FROM events))
+"""
+
+
 def _stream_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental streaming extract (SURVEY.md §2.10) as a driver query.
 
@@ -229,6 +326,12 @@ def _registry() -> dict[str, tuple]:
     )
     registry["stream_extract_incremental"] = (
         _stream_extract_query, _EXTRACT_PIPELINE_SQL,
+    )
+    registry["stream_windowed_counts"] = (
+        _stream_windows_query, _STREAM_WINDOWS_SQL,
+    )
+    registry["stream_sessionize_stateful"] = (
+        _stream_sessions_query, _stream_sessions_sql(),
     )
     return registry
 
