@@ -178,11 +178,16 @@ def synthesize_pages(spark, sf_dir: str, replicas: int = REPLICAS) -> str:
 
 
 def synthesize_skew_pages(spark, sf_dir: str, replicas: int = 4) -> str:
-    """Heavy-tail corpus: 2% of documents are 120-page PDFs (the skewed
-    giants the north_star's page-range split exists for), rest HTML."""
+    """Heavy-tail corpus in three tiers: 98% HTML, 2% 120-page PDFs
+    (many mid-size giants — balanced by COUNT, so they parse whole), and
+    a couple of ~30000-page MEGA PDFs (doc_id % 5000 == 0, ~55 MB) whose single-
+    task parse time exceeds the rest of the corpus' wall — the documents
+    the north_star's page-range split exists for. The bench runs the
+    corpus chunked and unchunked to show the split removing the
+    mega-doc straggler tail."""
     import pandas as pd
 
-    path = f"/tmp/p2l_bench_skew_{_sf_tag(sf_dir)}_x{replicas}.parquet"
+    path = f"/tmp/p2l_bench_skew_v3_{_sf_tag(sf_dir)}_x{replicas}.parquet"
     if os.path.exists(path):
         return path
 
@@ -209,8 +214,9 @@ def synthesize_skew_pages(spark, sf_dir: str, replicas: int = 4) -> str:
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 words = (text + " ").split() * 3
                 body = " ".join(words)
+                n_pages = 30000 if doc_id % 5000 == 0 else 120
                 pages = [f"# Giant {doc_id}\n\n{body}"] + [
-                    f"## Section {i}\n\n{body}" for i in range(1, 120)
+                    f"## Section {i}\n\n{body}" for i in range(1, n_pages)
                 ]
                 pdf = write_pdf([layout_markdown_page(p) for p in pages])
                 out["url"].append(f"https://bench.test/skew/pdf/{doc_id}")
@@ -552,16 +558,26 @@ def main() -> None:
     )
     qtimes["extract_pipeline_desc"] = round(desc_wall, 3)
 
-    # skew evidence: heavy-tail corpus (2% docs are 120-page PDFs) with
-    # the page-range split engaged (giant_bytes forces the synthetic
-    # giants — ~90 KB, image-free — down the chunk path a multi-MB real
-    # PDF would take); throughput proves one giant doesn't pin a task
+    # skew evidence: the 120-page tier is balanced by COUNT (hundreds of
+    # giants over 32 cores), so it parses whole; only the ~30000-page
+    # mega docs (~55 MB, single-task parse ~8 s, far beyond the corpus wall) go
+    # down the page-range chunk path. The unchunked control run shows
+    # the straggler tail the split removes.
     skew_path = synthesize_skew_pages(spark, SF_DIR)
     skew_wall, n_skew = run_extraction(
-        spark, skew_path, giant_bytes=50_000
+        spark, skew_path, giant_bytes=500_000, chunk_pages=150
     )
     qtimes["extract_pipeline_skew"] = round(skew_wall, 3)
-    result_skew = {"docs": n_skew, "docs_per_sec": round(n_skew / skew_wall, 2)}
+    pin_wall, _ = run_extraction(
+        spark, skew_path, n_known=n_skew, giant_bytes=10**9
+    )
+    qtimes["extract_pipeline_skew_unchunked"] = round(pin_wall, 3)
+    result_skew = {
+        "docs": n_skew,
+        "docs_per_sec": round(n_skew / skew_wall, 2),
+        "unchunked_docs_per_sec": round(n_skew / pin_wall, 2),
+        "chunk_speedup": round(pin_wall / skew_wall, 2),
+    }
     docs_per_sec = round(n_docs / extract_wall, 2)
 
     result = {

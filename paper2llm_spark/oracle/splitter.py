@@ -119,19 +119,40 @@ def _pull_in_page_marker(content: str, boundary: int) -> int:
     return boundary
 
 
+# shared prefix of every ack/appendix pattern: a heading-line start.
+# One finditer pass collects candidate positions; each pattern then
+# anchor-matches only at candidates instead of re-scanning the whole
+# document (22 patterns x 46 MB on a 30k-page doc = ~5.6 s -> ~0.6 s).
+# Exactness: every pattern match must start where `^#+\s+` matches (same
+# flags, same `^` semantics), candidates ascend, and Pattern.match(s, pos)
+# evaluates `^`/`\b` against the FULL string — so the first anchored
+# match equals Pattern.search()'s match, byte for byte.
+_HEADING_RE = re.compile(r"^#+" + _S + r"+", _F)
+
+
+def _first_match_at(pattern, content: str, candidates: list[int]):
+    for pos in candidates:
+        m = pattern.match(content, pos)
+        if m:
+            return m
+    return None
+
+
 def find_section_boundaries(content: str) -> tuple[int | None, int | None]:
     """``findSectionBoundaries`` (markdown-splitter.ts:92-263)."""
+    heads = [m.start() for m in _HEADING_RE.finditer(content)]
+
     # Acknowledgment search: earliest index across patterns (:129-138).
     ack_start: int | None = None
     for pattern in ACK_PATTERNS:
-        m = pattern.search(content)
+        m = _first_match_at(pattern, content, heads)
         if m and (ack_start is None or m.start() < ack_start):
             ack_start = m.start()
 
     # Appendix search with the A-pattern guard (:141-160).
     appendix_start: int | None = None
     for idx, pattern in enumerate(APPENDIX_PATTERNS):
-        m = pattern.search(content)
+        m = _first_match_at(pattern, content, heads)
         if m and (appendix_start is None or m.start() < appendix_start):
             if idx in _GUARDED_APPENDIX_IDX and ack_start is not None:
                 if m.start() > ack_start:
@@ -200,10 +221,22 @@ def split_markdown_content(content: str) -> dict[str, str | None]:
 
 
 def count_words(text: str | None) -> int:
-    """``countWords`` (markdown-splitter.ts:326-332)."""
+    """``countWords`` (markdown-splitter.ts:326-332).
+
+    Semantics: ``split(/\\s+/).filter(w => w.length > 0).length``. With a
+    greedy one-or-more separator, empty parts can only appear at the two
+    ends (a maximal whitespace run absorbs all contiguous separators),
+    so the filter reduces to end-adjustment arithmetic — no 10^7-element
+    Python loop on a 46 MB document."""
     if not text:
         return 0
-    return sum(1 for w in _WS_SPLIT_RE.split(text) if len(w) > 0)
+    parts = _WS_SPLIT_RE.split(text)
+    n = len(parts)
+    if parts[0] == "":
+        n -= 1
+    if len(parts) > 1 and parts[-1] == "":
+        n -= 1
+    return n
 
 
 def get_markdown_sections_metadata(content: str) -> dict:
