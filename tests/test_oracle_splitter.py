@@ -156,3 +156,37 @@ def test_case_insensitive_headings():
     doc = "# T\n\nbody\n\n## REFERENCES\n\n[1]"
     r = split_markdown_content(doc)
     assert r["backmatter"].startswith("## REFERENCES")
+
+
+def test_boundary_search_equals_naive_pattern_search():
+    """The candidate-anchored boundary search (splitter._first_match_at
+    over heading positions) must equal plain Pattern.search for every
+    pattern on randomized heading soups — the equivalence that makes the
+    22x-scan optimization byte-safe."""
+    import random
+
+    from paper2llm_spark.oracle.splitter import (
+        ACK_PATTERNS,
+        APPENDIX_PATTERNS,
+        _HEADING_RE,
+        _first_match_at,
+    )
+
+    rng = random.Random(7)
+    frags = [
+        "# Title", "## References", "###  Appendix B", "#Funding",
+        "## A ", "## A. x", "text line", "", "  # not heading",
+        "#### Page 3", "## Acknowledgments", "## SI ", "## S2. y",
+        "## Supplementary Material", "## Works Cited", "body body",
+        "## REFERENCES", "##\tBroader Impact", "# A", "## Citations",
+    ]
+    for _ in range(300):
+        doc = "\n".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
+        heads = [m.start() for m in _HEADING_RE.finditer(doc)]
+        for pattern in ACK_PATTERNS + APPENDIX_PATTERNS:
+            naive = pattern.search(doc)
+            fast = _first_match_at(pattern, doc, heads)
+            assert (naive is None) == (fast is None)
+            if naive is not None:
+                assert naive.start() == fast.start()
+                assert naive.group(0) == fast.group(0)
