@@ -180,14 +180,14 @@ def synthesize_pages(spark, sf_dir: str, replicas: int = REPLICAS) -> str:
 def synthesize_skew_pages(spark, sf_dir: str, replicas: int = 4) -> str:
     """Heavy-tail corpus in three tiers: 98% HTML, 2% 120-page PDFs
     (many mid-size giants — balanced by COUNT, so they parse whole), and
-    a couple of ~30000-page MEGA PDFs (doc_id % 5000 == 0, ~55 MB) whose single-
+    four ~60000-short-page MEGA PDFs (doc_id % 5000 == 0) whose single-
     task parse time exceeds the rest of the corpus' wall — the documents
     the north_star's page-range split exists for. The bench runs the
     corpus chunked and unchunked to show the split removing the
     mega-doc straggler tail."""
     import pandas as pd
 
-    path = f"/tmp/p2l_bench_skew_v3_{_sf_tag(sf_dir)}_x{replicas}.parquet"
+    path = f"/tmp/p2l_bench_skew_v4_{_sf_tag(sf_dir)}_x{replicas}.parquet"
     if os.path.exists(path):
         return path
 
@@ -213,8 +213,14 @@ def synthesize_skew_pages(spark, sf_dir: str, replicas: int = 4) -> str:
             out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
             for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
                 words = (text + " ").split() * 3
-                body = " ".join(words)
-                n_pages = 30000 if doc_id % 5000 == 0 else 120
+                mega = doc_id % 5000 == 0
+                # megas: many SHORT pages — parse cost (per page) dwarfs
+                # the per-doc convert tail (per byte), so the unchunked
+                # straggler is visible regardless of task scheduling
+                body = " ".join(words[:100]) if mega else " ".join(words)
+                n_pages = 60000 if mega else 120
+                if mega:
+                    lang = "en"  # megas always survive the lang filter
                 pages = [f"# Giant {doc_id}\n\n{body}"] + [
                     f"## Section {i}\n\n{body}" for i in range(1, n_pages)
                 ]
@@ -559,18 +565,31 @@ def main() -> None:
     qtimes["extract_pipeline_desc"] = round(desc_wall, 3)
 
     # skew evidence: the 120-page tier is balanced by COUNT (hundreds of
-    # giants over 32 cores), so it parses whole; only the ~30000-page
-    # mega docs (~55 MB, single-task parse ~8 s, far beyond the corpus wall) go
-    # down the page-range chunk path. The unchunked control run shows
-    # the straggler tail the split removes.
+    # giants over 32 cores), so it parses whole; only the mega docs
+    # (single-task parse far beyond the corpus wall) go down the
+    # page-range chunk path. The unchunked control run shows the
+    # straggler tail the split removes. Timed passes for the two modes
+    # ALTERNATE (A,B,A,B,A,B; min per mode) so a co-tenant burst cannot
+    # land entirely inside one mode's window and flip the comparison.
+    from paper2llm_spark.plans.extract import extract_documents
+
     skew_path = synthesize_skew_pages(spark, SF_DIR)
-    skew_wall, n_skew = run_extraction(
-        spark, skew_path, giant_bytes=500_000, chunk_pages=150
+    skew_pages_df = spark.read.parquet(skew_path)
+    chunked_df = extract_documents(
+        skew_pages_df, giant_bytes=500_000, chunk_pages=150
     )
+    unchunked_df = extract_documents(skew_pages_df, giant_bytes=10**9)
+    n_skew = chunked_df.count()
+    walls = {"chunked": float("inf"), "unchunked": float("inf")}
+    for df in (chunked_df, unchunked_df):  # warm: JIT + Python workers
+        df.write.format("noop").mode("overwrite").save()
+    for _ in range(3):
+        for label, df in (("chunked", chunked_df), ("unchunked", unchunked_df)):
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            walls[label] = min(walls[label], time.monotonic() - t0)
+    skew_wall, pin_wall = walls["chunked"], walls["unchunked"]
     qtimes["extract_pipeline_skew"] = round(skew_wall, 3)
-    pin_wall, _ = run_extraction(
-        spark, skew_path, n_known=n_skew, giant_bytes=10**9
-    )
     qtimes["extract_pipeline_skew_unchunked"] = round(pin_wall, 3)
     result_skew = {
         "docs": n_skew,
