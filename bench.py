@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "corpus_domain_stats",
     "corpus_domain_cap",
     "text_unigram_logprob",
+    "text_char_entropy",
+    "corpus_shard_manifest",
 ]
 
 
@@ -787,18 +789,41 @@ def main() -> None:
 def _write_bench_md(result: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     s = result.get("scaling", {})
+    best = result.get("value_best", result["value"])
     lines = [
         "# BENCH — measured numbers",
         "",
         f"Input: synthesized pages table from `{SF_DIR}` documents "
-        "(80% HTML / 20% 3-page PDF payloads), placeholder branch.",
+        "(80% HTML / 20% 3-page PDF payloads), placeholder branch. This "
+        "sandbox has bursty co-tenants (readings can swing 2-4x); the "
+        "chunked/unchunked skew comparison ALTERNATES its timed passes "
+        "so a burst cannot land inside one mode's window.",
         "",
         f"- extraction throughput at local[{result['cpus']}]: "
         f"**{result['value']} docs/sec** ({result['docs']} docs, "
-        f"{result['queries']['extract_pipeline']} s)",
+        f"{result['queries']['extract_pipeline']} s); best recorded "
+        f"quiet-window reading: {best} docs/sec",
         f"- byte-identical match-rate on the fixture corpus: **100%** "
         "(tests/test_spark_extract.py, both branches)",
+        f"- descriptions branch (extra Arrow hop): "
+        f"{result['queries'].get('extract_pipeline_desc', '?')} s",
     ]
+    sk = result.get("skew") or {}
+    if sk:
+        lines.append(
+            f"- skew / giant-doc evidence (three-tier corpus: 98% HTML, 2% "
+            f"120-page PDFs — count-balanced, parse whole — plus four "
+            f"~60k-page mega PDFs only the page-range chunk path can "
+            f"spread): chunked "
+            f"{result['queries'].get('extract_pipeline_skew', '?')} s vs "
+            f"unchunked "
+            f"{result['queries'].get('extract_pipeline_skew_unchunked', '?')} s "
+            f"end-to-end, **chunk_speedup {sk.get('chunk_speedup', '?')}x** "
+            f"(min of 3 interleaved pairs). Unchunked, each mega is a "
+            f"single-task parse straggler; chunked, the residual tail is "
+            f"the per-document slice scan + byte-identical enhancement "
+            f"floor, which no split can remove while output stays per-url."
+        )
     if s:
         lines += [
             f"- scaling ({s.get('docs', '?')}-doc corpus, same input at both "

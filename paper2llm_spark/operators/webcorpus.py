@@ -352,9 +352,87 @@ FROM per_doc, total
 """
 
 
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+# Shannon entropy of the character distribution over a fixed alphabet —
+# the classic gibberish/boilerplate detector (low entropy = repeated
+# chars/padding, high ~ log2(26) = natural text). Letters + space + a
+# few digits cover the corpus; unknown chars are simply not counted.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+
+def char_entropy_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc char entropy (nats): pure scan-side codegen — the char
+    histogram is |alphabet| length/replace expressions, no explode, no
+    shuffle (plan-asserted). Each -p*ln(p) term travels as an exact
+    bigint micro-nat so the sum is order-independent; ln() agrees
+    between the JVM and DuckDB to well inside the 6dp rounding."""
+    lower = F.lower(F.col("text"))
+    counts = [
+        (F.length(lower) - F.length(F.replace(lower, F.lit(c)))).cast(
+            "bigint"
+        )
+        for c in ENTROPY_ALPHABET
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    staged = docs.select(
+        "doc_id",
+        total.alias("n_alpha"),
+        F.array(*counts).alias("hist"),
+    )
+    p = lambda n: n / F.col("n_alpha")
+    term_micro = lambda n: F.when(
+        n > 0, F.floor(-(p(n) * F.log(p(n))) * 1000000 + F.lit(0.5))
+    ).otherwise(F.lit(0)).cast("bigint")
+    micro = F.aggregate(
+        F.transform(F.col("hist"), term_micro),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    return staged.select(
+        "doc_id",
+        "n_alpha",
+        F.when(
+            F.col("n_alpha") > 0, _round4(micro / 1000000.0)
+        ).otherwise(F.lit(0.0)).alias("char_entropy"),
+    )
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy_frame(_docs(spark, sf_dir))
+
+
+_ENT_COUNTS = ",\n    ".join(
+    f"length(lw) - length(replace(lw, '{c}', ''))" for c in ENTROPY_ALPHABET
+)
+
+CHAR_ENTROPY_SQL = f"""
+WITH l AS (SELECT doc_id, lower(text) AS lw FROM documents),
+h AS (
+  SELECT doc_id, [
+    {_ENT_COUNTS}
+  ] AS hist FROM l
+),
+s AS (SELECT doc_id, hist, list_sum(hist) AS n_alpha FROM h)
+SELECT doc_id,
+       n_alpha::BIGINT AS n_alpha,
+       CASE WHEN n_alpha > 0 THEN
+         floor(list_sum(list_transform(hist, n -> CASE WHEN n > 0
+             THEN floor(-((n / n_alpha) * ln(n / n_alpha)) * 1000000 + 0.5)
+             ELSE 0 END)) / 1000000.0 * 10000 + 0.5) / 10000
+       ELSE 0.0 END AS char_entropy
+FROM s
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "corpus_window_dedup": (window_dedup, WINDOW_DEDUP_SQL),
     "corpus_domain_stats": (domain_stats, DOMAIN_STATS_SQL),
     "corpus_domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "text_char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
 }

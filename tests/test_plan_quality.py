@@ -325,3 +325,14 @@ def test_simhash60_is_shuffle_free_fold(spark):
 
     plan = _physical(simhash60(spark, "/root/testdata/sf0.001"))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_char_entropy_is_scan_side_only(spark):
+    """The char histogram is length/replace codegen: no joins, no hash
+    exchanges, no Python — the whole query is scan -> project."""
+    from paper2llm_spark.operators.webcorpus import char_entropy
+
+    plan = _physical(char_entropy(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

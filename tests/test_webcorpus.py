@@ -116,3 +116,25 @@ def test_domain_stats_counts(spark):
     r = out["src0"]
     assert r["n_docs"] == 25 and r["n_langs"] >= 1
     assert abs(r["avg_doc_tokens"] * r["n_docs"] - r["n_tokens"]) < 1
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from paper2llm_spark.operators.webcorpus import char_entropy_frame
+
+    rows = [_doc(1, "aabb"), _doc(2, "aaaa"), _doc(3, "")]
+    out = {
+        r["doc_id"]: r
+        for r in char_entropy_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    # two symbols, equal mass -> ln 2 nats; each -p*ln(p) term floors to
+    # micro-nats BEFORE the sum, so the expectation doubles the floored
+    # per-term value
+    term = math.floor(-(0.5 * math.log(0.5)) * 1e6 + 0.5)
+    exp = math.floor((2 * term) / 1e6 * 1e4 + 0.5) / 1e4
+    assert out[1]["n_alpha"] == 4 and out[1]["char_entropy"] == exp
+    assert out[2]["char_entropy"] == 0.0  # single symbol
+    assert out[3]["n_alpha"] == 0 and out[3]["char_entropy"] == 0.0
