@@ -651,9 +651,31 @@ def main() -> None:
         CONSISTENCY_X = 1.25
         attempts = 0
 
+        # saved walls join the anchors: without them, a storm that spans
+        # a whole run can make its rounds MUTUALLY consistent (all slowed
+        # alike) and write an implausible median. Contention only slows
+        # readings, so historical minima remain valid anchors for the
+        # same method_v + corpus; if the engine legitimately slows later,
+        # rounds go contaminated:true (visible) rather than silently
+        # wrong — bump METHOD_V on intentional slowdowns.
+        prev0 = None
+        try:
+            with open("BENCH/scaling.json") as f:
+                prev0 = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            prev0 = None
+        anchor_lo: list[float] = []
+        anchor_hi: list[float] = []
+        if prev0 and prev0.get("method_v") == METHOD_V:
+            hist = list(prev0.get("all_rounds", []))
+            if "wall_low" in prev0:
+                hist.append([prev0["wall_low"], prev0["wall_high"], 0.0])
+            anchor_lo = [float(r[0]) for r in hist]
+            anchor_hi = [float(r[1]) for r in hist]
+
         def _consistent(cands: list[tuple[float, float, float]]):
-            lo_best = min(l for l, _h, _e in cands)
-            hi_best = min(h for _l, h, _e in cands)
+            lo_best = min([l for l, _h, _e in cands] + anchor_lo)
+            hi_best = min([h for _l, h, _e in cands] + anchor_hi)
             return [
                 (l, h) for l, h, _e in cands
                 if l <= CONSISTENCY_X * lo_best and h <= CONSISTENCY_X * hi_best
@@ -705,6 +727,14 @@ def main() -> None:
         eff_median = effs[len(effs) // 2] if len(effs) % 2 else (
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
         )
+        median_inherited = False
+        if contaminated and prev0 and prev0.get("efficiency_median") is not None \
+                and prev0.get("method_v") == METHOD_V:
+            # nothing measured this run was quiet at both levels: a median
+            # over storm rounds is noise, not a statistic — keep the last
+            # consistent-round median and say so
+            eff_median = float(prev0["efficiency_median"])
+            median_inherited = True
 
         prev = None
         try:
@@ -744,6 +774,7 @@ def main() -> None:
                 [round(l, 3), round(h, 3), e] for l, h, e in all_rounds
             ],
             "contaminated": contaminated,
+            "median_inherited": median_inherited,
             "method_v": METHOD_V,
             "method": (
                 "self-contention emulation: low level = 4 concurrent "
