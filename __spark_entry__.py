@@ -313,12 +313,13 @@ def _stream_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webcorpus, webstats,
+        sink, textstats, webcorpus, webselect, webstats,
     )
 
     registry: dict[str, tuple] = {}
     for module in (dedup, similarity, textstats, relational, multimodal,
-                   refscalars, curation, webstats, webcorpus, sink):
+                   refscalars, curation, webstats, webcorpus, webselect,
+                   sink):
         registry.update(module.QUERIES)
     registry["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     registry["extract_html_pipeline_desc"] = (

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "text_char_entropy",
     "corpus_shard_manifest",
+    "corpus_dsir_weights",
+    "corpus_url_dedup",
 ]
 
 

@@ -336,3 +336,27 @@ def test_char_entropy_is_scan_side_only(spark):
     assert "Join" not in plan
     assert "hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_broadcasts_bucket_model(spark):
+    """DSIR scoring: the hashed-feature log-ratio table is DSIR_BUCKETS
+    rows — it must reach the per-gram scoring join as a broadcast, and
+    the two model-building passes must keep their map-side partial
+    phase (shuffles carry (bucket, partial_count), never raw grams)."""
+    from paper2llm_spark.operators.webselect import dsir_weights
+
+    plan = _physical(dsir_weights(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (src, tgt)
+
+
+def test_url_dedup_no_spread_exchange(spark):
+    """URL dedup is exact-dedup-shaped: canonicalization is codegen in
+    the scan task and the ONLY exchange is the groupBy on the canonical
+    key (no round-robin spread of the corpus)."""
+    from paper2llm_spark.operators.webselect import url_dedup
+
+    plan = _physical(url_dedup(spark, "/root/testdata/sf0.001"))
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("hashpartitioning") <= 2  # one logical shuffle (+AQE reuse)
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -1,0 +1,84 @@
+"""Semantic tests for the data-selection operators (DSIR importance
+weights, URL canonicalization dedup).
+
+Cross-engine value equality vs DuckDB is covered by the parametrized
+oracle gate in test_driver_contract.py; these pin the SEMANTICS on
+crafted inputs where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from paper2llm_spark.operators.webselect import (
+    canonicalize_url,
+    dsir_weights_frame,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _doc(i, text, lang="en", source="s0"):
+    return (i, text, lang, source, len(text))
+
+
+def test_dsir_upweights_target_like_documents(spark):
+    # target (en) docs share a bigram vocabulary; the fr docs use a
+    # disjoint one — an unseen doc written in the target vocabulary must
+    # outscore one written in the source-only vocabulary
+    en = "the quick brown fox jumps over the lazy dog"
+    fr = "le renard brun rapide saute par dessus le chien"
+    rows = (
+        [_doc(i, en, "en") for i in range(8)]
+        + [_doc(10 + i, fr, "fr") for i in range(8)]
+        + [_doc(100, en, "fr"), _doc(101, fr, "en")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    # doc 100 is target-vocabulary text (despite its lang tag) -> high
+    # weight; doc 101 is source-only vocabulary -> low weight
+    assert out[100]["dsir_logratio"] > 0 > out[101]["dsir_logratio"]
+    assert out[0]["dsir_logratio"] > out[10]["dsir_logratio"]
+    assert out[0]["n_grams"] == 8  # 9 tokens -> 8 bigrams
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    rows = [_doc(1, "only-one-token"), _doc(2, "two words here")]
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["n_grams"] == 0 and out[1]["dsir_logratio"] == 0.0
+    assert out[2]["n_grams"] == 2
+
+
+def test_url_canonicalization_cases(spark):
+    cases = [
+        # fragment dropped, host lowercased, www + default port stripped
+        ("HTTPS://WWW.News.Example.COM:443/A/b#frag", "https://news.example.com/A/b"),
+        # tracking params removed, real params kept, separators tidied
+        (
+            "https://ex.com/p?utm_source=feed&utm_campaign=x&ref=home",
+            "https://ex.com/p?ref=home",
+        ),
+        ("https://ex.com/p/?fbclid=AbC123", "https://ex.com/p"),
+        ("http://ex.com:80/p?gclid=1", "http://ex.com/p"),
+        # trailing slash off a non-empty path; path CASE preserved
+        ("https://ex.com/Path/", "https://ex.com/Path"),
+        # bare host: nothing to strip
+        ("https://ex.com", "https://ex.com"),
+        # non-default port kept
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, f"{raw} -> {g}, want {want}"
