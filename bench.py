@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "ann_kmeans_cells",
     "ann_lsh_buckets",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "dedup_embedding_cosine",
     "text_lang_id",
     "text_quality_score",

@@ -450,10 +450,172 @@ SELECT vec_id, cell FROM (
 KMEANS_CELLS_SQL = _kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — compressed-domain distance estimation
+# ---------------------------------------------------------------------------
+
+M_SUB = 4        # subspaces
+SUB_DIM = DIM // M_SUB
+N_CODES = 8      # codes per subspace codebook
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks [M_SUB][N_CODES][SUB_DIM]:
+    md5-seeded values in [-1, 1) (a trained codebook drops in the same
+    way the k-means quantizer upgrades IVF's CENTROIDS)."""
+    books = []
+    for m in range(M_SUB):
+        codes = []
+        for k in range(N_CODES):
+            row = []
+            for d in range(SUB_DIM):
+                h = hashlib.md5(f"pq:{m}:{k}:{d}".encode()).hexdigest()
+                row.append(round(int(h[:4], 16) / 32768.0 - 1.0, 6))
+            codes.append(row)
+        books.append(codes)
+    return books
+
+
+PQ_CODEBOOKS = _pq_codebooks()
+
+
+def _sq_l2(a, b):
+    """Squared L2 as a^2 - 2ab + b^2 dot products — the same three-term
+    structure the DuckDB dual uses (list_dot_product), so the doubles
+    agree before the 6dp round."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def _pq_dists_expr(sub, m):
+    """round-6 squared distances from a subvector to every code of
+    subspace m's codebook (one nested-array literal + transform, per the
+    expression-tree discipline from the k-means assignment)."""
+    cmat = F.lit([[float(x) for x in c] for c in PQ_CODEBOOKS[m]])
+    return F.transform(cmat, lambda c: F.round(_sq_l2(sub, c), 6))
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: encode every corpus vector as M_SUB codebook indices, then
+    score query-corpus pairs with the asymmetric-distance estimate
+    d2(q, x) ~= sum_m lut_q[m][code_m(x)].
+
+    The scale story is COMPRESSION, not pruning (combine with IVF cells
+    for both): the corpus side of the join carries (vec_id, 4 small
+    ints) — 4 bytes of code vs 256 bytes of floats per vector at
+    production dims — and each pair costs M_SUB array lookups into the
+    query's broadcast LUT instead of a DIM-wide dot product. The
+    encode pass is scan-side codegen; the tiny query side is broadcast
+    (plan-asserted), so nothing corpus-sized shuffles at all."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = emb.select(
+        "vec_id",
+        *[
+            F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias(f"s{m}")
+            for m in range(M_SUB)
+        ],
+    )
+    codes = subs.select(
+        "vec_id",
+        *[
+            F.array_position(
+                _pq_dists_expr(F.col(f"s{m}"), m),
+                F.array_min(_pq_dists_expr(F.col(f"s{m}"), m)),
+            ).cast("int").alias(f"code{m}")
+            for m in range(M_SUB)
+        ],
+    )
+    luts = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            _pq_dists_expr(F.col(f"s{m}"), m).alias(f"lut{m}")
+            for m in range(M_SUB)
+        ],
+    )
+    pairs = (
+        F.broadcast(luts)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sum(
+                F.element_at(F.col(f"lut{m}"), F.col(f"code{m}"))
+                for m in range(M_SUB)
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("adist", 4).alias("adist4"),
+        )
+    )
+
+
+def _pq_sql() -> str:
+    def book(m: int) -> str:
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in c) + "]"
+                for c in PQ_CODEBOOKS[m]
+            )
+            + "]::DOUBLE[][]"
+        )
+
+    def dists(m: int) -> str:
+        return (
+            f"list_transform({book(m)}, c -> round("
+            f"list_dot_product(s{m}, s{m}) - 2.0 * list_dot_product(s{m}, c)"
+            f" + list_dot_product(c, c), 6))"
+        )
+
+    sub_cols = ", ".join(
+        f"v[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}] AS s{m}" for m in range(M_SUB)
+    )
+    code_cols = ", ".join(
+        f"list_position({dists(m)}, list_min({dists(m)})) AS code{m}"
+        for m in range(M_SUB)
+    )
+    lut_cols = ", ".join(f"{dists(m)} AS lut{m}" for m in range(M_SUB))
+    adist = " + ".join(f"lut{m}[code{m}]" for m in range(M_SUB))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (SELECT vec_id, {sub_cols} FROM e),
+codes AS (SELECT vec_id, {code_cols} FROM subs),
+luts AS (SELECT vec_id AS query_id, {lut_cols} FROM subs
+         WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {adist} AS adist
+  FROM luts CROSS JOIN codes c WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, round(adist, 4) AS adist4
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+PQ_TOPK_SQL = _pq_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "ann_kmeans_cells": (kmeans_cells, KMEANS_CELLS_SQL),
     "ann_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "ann_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
+    "ann_pq_topk": (pq_topk, PQ_TOPK_SQL),
     "dedup_embedding_cosine": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
 }

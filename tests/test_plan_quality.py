@@ -360,3 +360,14 @@ def test_url_dedup_no_spread_exchange(spark):
     assert "RoundRobinPartitioning" not in plan
     assert plan.count("hashpartitioning") <= 2  # one logical shuffle (+AQE reuse)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pq_topk_broadcasts_query_luts(spark):
+    """PQ ANN: the corpus side collapses to (vec_id, M_SUB code ints)
+    scan-side; the per-query LUTs are the broadcast side of the join —
+    no corpus-sized exchange anywhere before the top-k window."""
+    from paper2llm_spark.operators.similarity import pq_topk
+
+    plan = _physical(pq_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
