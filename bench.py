@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "corpus_shard_manifest",
     "corpus_dsir_weights",
     "corpus_url_dedup",
+    "corpus_sequence_pack",
+    "corpus_mixture_plan",
 ]
 
 

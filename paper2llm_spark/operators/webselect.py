@@ -270,7 +270,161 @@ FROM s5 GROUP BY u
 """
 
 
+# ---------------------------------------------------------------------------
+# sequence packing (training-loader layout)
+# ---------------------------------------------------------------------------
+
+CTX_TOKENS = 128     # training sequence length (production: 2k-8k)
+N_PACK_SHARDS = 8    # parallel packing streams
+
+
+def sequence_pack_frame(docs: DataFrame) -> DataFrame:
+    """GPT-style concat-then-chunk packing plan: documents are
+    concatenated in deterministic order and cut into CTX_TOKENS
+    sequences; each doc learns which sequence it starts in and at what
+    offset.
+
+    A single global running sum would serialize the corpus through one
+    window partition — the scale shape packs WITHIN N_PACK_SHARDS
+    independent streams (hash-assigned), so the plan is ONE exchange on
+    shard + a per-shard sort; every shard's packing is embarrassingly
+    parallel, exactly how a multi-worker training loader shards its
+    input. Sequence ids are (shard, seq_idx) so they never collide
+    across streams.
+    """
+    from ..functions.text import portable_hash60 as _h60
+
+    t = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (_h60(F.col("doc_id").cast("string")) % N_PACK_SHARDS).alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("cum_before") / CTX_TOKENS).cast("bigint").alias("seq_idx"),
+        (F.col("cum_before") % CTX_TOKENS).alias("seq_offset"),
+    )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the first real step is the shard exchange; no spread needed
+    return sequence_pack_frame(_docs(spark, sf_dir, spread=False))
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_TOK})::BIGINT AS n_tokens,
+         {sql_hash60("doc_id::VARCHAR")} % {N_PACK_SHARDS} AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       (cum_before // {CTX_TOKENS})::BIGINT AS seq_idx,
+       cum_before % {CTX_TOKENS} AS seq_offset
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture plan (per-language sampling rates toward a target blend)
+# ---------------------------------------------------------------------------
+
+# target language shares for the training blend (The-Pile/LLaMA-style
+# mixture table; literal config, swapped per run)
+MIXTURE_TARGET = {"en": 0.55, "de": 0.15, "fr": 0.15, "es": 0.10, "zh": 0.05}
+MIXTURE_BUDGET_TOKENS = 20_000  # total token budget of the blend
+
+
+def mixture_plan_frame(docs: DataFrame) -> DataFrame:
+    """Per-language sampling plan: rate = min(1, target_tokens /
+    available_tokens).  One map-side-combinable agg collapses the corpus
+    to |langs| rows; the target table is a literal.  The emitted rates
+    feed the stratified sampler (webstats.stratified_sample) as its
+    per-language keep probabilities."""
+    avail = docs.select(
+        "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n")
+    ).groupBy("lang").agg(F.sum("n").alias("avail_tokens"))
+    target = F.create_map(
+        *[x for k, v in sorted(MIXTURE_TARGET.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    plan = avail.select(
+        "lang",
+        "avail_tokens",
+        F.coalesce(target[F.col("lang")], F.lit(0.0)).alias("target_share"),
+    ).select(
+        "lang",
+        "avail_tokens",
+        "target_share",
+        F.floor(F.col("target_share") * MIXTURE_BUDGET_TOKENS).cast("bigint").alias(
+            "target_tokens"
+        ),
+    )
+    return plan.select(
+        "lang",
+        "avail_tokens",
+        "target_share",
+        "target_tokens",
+        _round4(
+            F.least(
+                F.lit(1.0),
+                F.col("target_tokens") / F.col("avail_tokens"),
+            )
+        ).alias("sample_rate"),
+    )
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_plan_frame(_docs(spark, sf_dir, spread=False))
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIXTURE_TARGET.items())
+)
+
+MIXTURE_PLAN_SQL = f"""
+WITH avail AS (
+  SELECT lang, sum(len({_TOK}))::BIGINT AS avail_tokens
+  FROM documents GROUP BY lang
+),
+plan AS (
+  SELECT lang, avail_tokens,
+         CASE lang {_MIX_CASE} ELSE 0.0 END AS target_share,
+         floor((CASE lang {_MIX_CASE} ELSE 0.0 END) * {MIXTURE_BUDGET_TOKENS})::BIGINT
+           AS target_tokens
+  FROM avail
+)
+SELECT lang, avail_tokens, target_share, target_tokens,
+       floor(least(1.0, target_tokens / avail_tokens) * 10000 + 0.5) / 10000
+         AS sample_rate
+FROM plan
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "corpus_dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
     "corpus_url_dedup": (url_dedup, URL_DEDUP_SQL),
+    "corpus_sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
+    "corpus_mixture_plan": (mixture_plan, MIXTURE_PLAN_SQL),
 }

@@ -371,3 +371,20 @@ def test_pq_topk_broadcasts_query_luts(spark):
     plan = _physical(pq_topk(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_single_shard_exchange(spark):
+    """Packing must not serialize through one global window partition:
+    exactly one hash exchange (on shard) feeds the per-shard sort."""
+    from paper2llm_spark.operators.webselect import sequence_pack
+
+    plan = _physical(sequence_pack(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning") <= 2  # one logical shuffle (+AQE reuse)
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_plan_keeps_partial_agg(spark):
+    from paper2llm_spark.operators.webselect import mixture_plan
+
+    plan = _physical(mixture_plan(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2  # partial + final

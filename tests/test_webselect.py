@@ -82,3 +82,44 @@ def test_url_canonicalization_cases(spark):
     ]
     for (raw, want), g in zip(cases, got):
         assert g == want, f"{raw} -> {g}, want {want}"
+
+
+def test_sequence_pack_concat_then_chunk_invariants(spark):
+    from paper2llm_spark.operators.webselect import (
+        CTX_TOKENS,
+        sequence_pack_frame,
+    )
+
+    # 6 docs of 50 tokens each -> within any one shard, doc k starts at
+    # 50*k: seq_idx floor(50k/CTX), offset 50k % CTX
+    rows = [_doc(i, " ".join(f"w{j}" for j in range(50))) for i in range(6)]
+    out = sequence_pack_frame(spark.createDataFrame(rows, DOC_SCHEMA)).collect()
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["n_tokens"] == 50
+        assert r["seq_idx"] == cum // CTX_TOKENS
+        assert r["seq_offset"] == cum % CTX_TOKENS
+        by_shard[r["shard"]] = cum + r["n_tokens"]
+
+
+def test_mixture_plan_rates(spark):
+    from paper2llm_spark.operators.webselect import (
+        MIXTURE_BUDGET_TOKENS,
+        MIXTURE_TARGET,
+        mixture_plan_frame,
+    )
+
+    # en: plenty available -> rate < 1 matches budget; zh: scarce -> capped at 1
+    rows = [_doc(i, " ".join(f"w{j}" for j in range(100)), "en") for i in range(200)]
+    rows += [_doc(1000 + i, " ".join(f"w{j}" for j in range(10)), "zh") for i in range(5)]
+    out = {
+        r["lang"]: r
+        for r in mixture_plan_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    want_en = int(MIXTURE_TARGET["en"] * MIXTURE_BUDGET_TOKENS) / 20000.0
+    assert abs(out["en"]["sample_rate"] - round(want_en, 4)) < 1e-9
+    assert out["zh"]["sample_rate"] == 1.0
+    assert out["en"]["avail_tokens"] == 20000
