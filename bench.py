@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
+    "dedup_lsh_verified",
     "dedup_lsh_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash60",
@@ -62,6 +63,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
+    "text_tfidf_topk",
     "ref_assemble_pages",
     "ref_word_count",
     "mm_binary_meta",

@@ -257,6 +257,108 @@ FROM bands a JOIN bands b
 """
 
 
+LSH_VERIFY_MIN = 0.5  # keep pairs whose estimated Jaccard >= this
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage MinHash dedup (the production shape: LSH candidates,
+    then SIGNATURE VERIFICATION): estimated Jaccard = fraction of
+    matching signature components, computed from the signatures already
+    in flight — the documents themselves are never re-read or re-hashed
+    for verification.
+
+    The signatures ride through the band join (8 bigints per row, 4
+    band copies — constant-size baggage), so verification adds zero
+    joins and zero extra scans to the candidate plan; false-positive
+    band collisions are dropped before any expensive downstream
+    (clustering, canonical-pick) sees them.
+    """
+    sig = _shingled(_docs(spark, sf_dir)).select(
+        "doc_id", _minhash_array(F.col("shingles")).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.when(
+                F.element_at("sig", 1).isNotNull(),
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.element_at("sig", 2 * b + 1),
+                                F.element_at("sig", 2 * b + 2),
+                            )
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(N_MINHASH)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= LSH_VERIFY_MIN)
+    )
+
+
+_MH_MATCH_TERMS = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+)
+
+LSH_VERIFIED_SQL = f"""
+WITH sig AS ({MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || ',' || mh1::VARCHAR) AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2::VARCHAR || ',' || mh3::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(mh4::VARCHAR || ',' || mh5::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(mh6::VARCHAR || ',' || mh7::VARCHAR) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         round(({_MH_MATCH_TERMS}) / {float(N_MINHASH)}, 4) AS est_jaccard
+  FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {LSH_VERIFY_MIN}
+"""
+
+
 # ---------------------------------------------------------------------------
 # LSH duplicate clusters (connected components + canonical doc)
 # ---------------------------------------------------------------------------
@@ -671,6 +773,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "dedup_lsh_pairs": (lsh_candidate_pairs, LSH_PAIRS_SQL),
+    "dedup_lsh_verified": (lsh_verified_pairs, LSH_VERIFIED_SQL),
     "dedup_lsh_clusters": (lsh_duplicate_clusters, LSH_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_simhash60": (simhash60, SIMHASH_SQL),

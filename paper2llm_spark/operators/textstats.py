@@ -426,8 +426,110 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top-k terms per document)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens per document by tf·idf (idf = ln((N+1)/(df+1)),
+    add-1 smoothed).
+
+    Plan: one explode feeds BOTH aggregations — tf is a
+    map-side-combinable groupBy(doc_id, tok); df reaggregates the tf
+    frame (already one row per (doc, tok), so df = count per tok — no
+    second corpus scan and no distinct). The df table is
+    vocabulary-sized: AQE broadcasts it here; at a 10^12-doc vocabulary
+    it degrades gracefully to a shuffle join on tok. idf travels as
+    exact micro-nats, so tf·idf is an exact bigint before the final
+    rounding and the per-doc top-K window is order-stable across
+    engines.
+    """
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    n_docs = _docs(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    df_tbl = (
+        tf.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.floor(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint").alias("idf_micro"),
+        )
+    )
+    scored = tf.join(df_tbl, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "tok",
+            "tf",
+            (
+                F.floor(F.col("score_micro") / 1000000.0 * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("tfidf"),
+        )
+    )
+
+
+_TFIDF_TOK = SQL_TOKENS.format(expr="text")
+
+TFIDF_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_TFIDF_TOK}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM ex GROUP BY doc_id, tok),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+dft AS (
+  SELECT tok,
+         floor(ln((n_docs + 1.0) / (count(*) + 1.0)) * 1000000 + 0.5)::BIGINT
+           AS idf_micro
+  FROM tf, nd GROUP BY tok, n_docs
+),
+scored AS (
+  SELECT doc_id, tok, tf, tf * idf_micro AS score_micro
+  FROM tf JOIN dft USING (tok)
+),
+ranked AS (
+  SELECT doc_id, tok, tf, score_micro,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_micro DESC, tok
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, tok, tf,
+       floor(score_micro / 1000000.0 * 10000 + 0.5) / 10000 AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
+    "text_tfidf_topk": (tfidf_topk, TFIDF_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_token_count": (token_count, TOKEN_COUNT_SQL),

@@ -388,3 +388,32 @@ def test_mixture_plan_keeps_partial_agg(spark):
 
     plan = _physical(mixture_plan(spark, "/root/testdata/sf0.001"))
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_lsh_verified_adds_no_joins_beyond_band_join(spark):
+    """Signature verification rides the candidate join: exactly one
+    join in the plan (the band equi-join) — the signatures are carried,
+    not re-joined, and nothing is cartesian."""
+    from paper2llm_spark.operators.dedup import lsh_verified_pairs
+
+    plan = _physical(lsh_verified_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_tfidf_reuses_tf_frame_for_df(spark):
+    """df reaggregates the (doc, tok) tf frame. The static plan shows
+    the tf subtree twice (no cross-branch CSE in Catalyst), but at
+    runtime exchange reuse must collapse them — the corpus is tokenized
+    and shuffled ONCE; both aggregations keep their map-side partial
+    phase."""
+    from paper2llm_spark.operators.textstats import tfidf_topk
+
+    df = tfidf_topk(spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE finalizes the plan (ReusedExchange) on execution
+    plan = _physical(df)
+    assert "ReusedExchange" in plan, plan
+    assert plan.count("HashAggregate") >= 4

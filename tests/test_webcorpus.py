@@ -138,3 +138,24 @@ def test_char_entropy_hand_computed(spark):
     assert out[1]["n_alpha"] == 4 and out[1]["char_entropy"] == exp
     assert out[2]["char_entropy"] == 0.0  # single symbol
     assert out[3]["n_alpha"] == 0 and out[3]["char_entropy"] == 0.0
+
+
+def test_lsh_verified_pairs_scores_and_filters(spark, tmp_path):
+    """Identical docs estimate Jaccard 1.0; a half-overlapping doc that
+    shares a band but fails verification is dropped."""
+    import os
+
+    from paper2llm_spark.operators.dedup import lsh_verified_pairs
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [_doc(1, same), _doc(2, same), _doc(3, "totally different words here now")]
+    d = str(tmp_path / "sfv")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    out = lsh_verified_pairs(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["est_jaccard"] == 1.0
