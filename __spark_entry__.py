@@ -310,6 +310,48 @@ def _stream_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a driver query: the documents table
+    lands in TWO waves split by doc_id (lower ids first, so the global
+    min of every content group is already in the earliest wave that
+    contains the group); each wave drains through a separate
+    ``availableNow`` run.  First-seen emission then equals the batch
+    answer, so the oracle is plain GROUP BY md5(text) -> min(doc_id)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from paper2llm_spark.streaming.dedup import incremental_exact_dedup
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"p2l_stream_dedup_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir = os.path.join(work, "docs")
+    out_dir = os.path.join(work, "out")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = docs.agg(
+        F.percentile_approx("doc_id", 0.5).alias("m")
+    ).collect()[0]["m"]
+    docs.filter(F.col("doc_id") <= split).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
+    docs.filter(F.col("doc_id") > split).repartition(4).write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
+
+    return spark.read.parquet(os.path.join(out_dir, "dedup"))
+
+
+_STREAM_DEDUP_SQL = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
@@ -327,6 +369,9 @@ def _registry() -> dict[str, tuple]:
     )
     registry["stream_extract_incremental"] = (
         _stream_extract_query, _EXTRACT_PIPELINE_SQL,
+    )
+    registry["stream_dedup_exact"] = (
+        _stream_dedup_query, _STREAM_DEDUP_SQL,
     )
     registry["stream_windowed_counts"] = (
         _stream_windows_query, _STREAM_WINDOWS_SQL,

@@ -60,3 +60,40 @@ def test_incremental_two_batches_no_reprocessing(spark, tmp_path):
     got = {r["url"]: r["markdown"] for r in final.collect()}
     for url, g in goldens.items():
         assert got[url] == g["markdown"], url
+
+
+def test_incremental_exact_dedup_first_seen_only(spark, tmp_path):
+    """Wave 2 re-sends known content: nothing re-emitted for it; new
+    content is; a third drain with no new files appends nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from paper2llm_spark.streaming.dedup import incremental_exact_dedup
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    wave1 = [(1, "shared content", "en", "s", 14), (2, "shared content", "en", "s", 14),
+             (3, "only wave one", "en", "s", 13)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
+    first = {r["content_md5"]: r["keep_doc_id"]
+             for r in spark.read.parquet(f"{out_dir}/dedup").collect()}
+    assert len(first) == 2 and min(first.values()) == 1
+
+    wave2 = [(9, "shared content", "en", "s", 14),  # dup of wave 1 -> dropped
+             (10, "brand new content", "en", "s", 17)]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
+    second = {r["content_md5"]: r["keep_doc_id"]
+              for r in spark.read.parquet(f"{out_dir}/dedup").collect()}
+    assert len(second) == 3
+    for k, v in first.items():
+        assert second[k] == v  # wave-1 emissions untouched
+    assert 10 in second.values() and 9 not in second.values()
+
+    # no new files -> drained checkpoint emits nothing
+    incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
+    assert spark.read.parquet(f"{out_dir}/dedup").count() == 3
