@@ -177,22 +177,28 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 
 # messy-URL synthesis: 4 deterministic variants per path so the
 # canonicalizer has fragments, tracking params, default ports and
-# www-prefixes to strip; doc_id % 157 gives ~3 docs per (source, path)
-# group at sf0.01
-URL_PATH_MOD = 157
+# www-prefixes to strip. doc_id % 40 collides with the testdata's
+# source = doc_id % 20 layout, so (source, path) groups really contain
+# multiple docs; the variant selector (doc_id // 40) % 4 CYCLES within
+# each group, so groups merge across DIFFERENT raw forms (fragment vs
+# tracking-param vs slash variants) — grouping only happens if the
+# canonicalizer actually normalized them — while the ?ref=home variant
+# stays a distinct canonical URL (non-tracking params survive)
+URL_PATH_MOD = 40
 
 _TRACKING = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
 
 
 def _messy_url(doc_id: Column, source: Column) -> Column:
+    variant = F.floor(doc_id / URL_PATH_MOD).cast("bigint") % 4
     return F.concat(
         F.lit("HTTPS://WWW."),
         source,
         F.lit(".Example.COM:443/Articles/"),
         (doc_id % URL_PATH_MOD).cast("string"),
-        F.when(doc_id % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x&ref=home"))
-        .when(doc_id % 4 == 1, F.lit("/?fbclid=AbC123"))
-        .when(doc_id % 4 == 2, F.lit("#section-3"))
+        F.when(variant == 0, F.lit("?utm_source=feed&utm_campaign=x&ref=home"))
+        .when(variant == 1, F.lit("/?fbclid=AbC123"))
+        .when(variant == 2, F.lit("#section-3"))
         .otherwise(F.lit("/")),
     )
 
@@ -242,9 +248,10 @@ WITH messy AS (
          'HTTPS://WWW.' || source || '.Example.COM:443/Articles/'
            || (doc_id % {URL_PATH_MOD})
            || CASE
-                WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x&ref=home'
-                WHEN doc_id % 4 = 1 THEN '/?fbclid=AbC123'
-                WHEN doc_id % 4 = 2 THEN '#section-3'
+                WHEN (doc_id // {URL_PATH_MOD}) % 4 = 0
+                  THEN '?utm_source=feed&utm_campaign=x&ref=home'
+                WHEN (doc_id // {URL_PATH_MOD}) % 4 = 1 THEN '/?fbclid=AbC123'
+                WHEN (doc_id // {URL_PATH_MOD}) % 4 = 2 THEN '#section-3'
                 ELSE '/'
               END AS url
   FROM documents
