@@ -516,12 +516,21 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(M_SUB)
         ],
     )
-    codes = subs.select(
+    # stage the distance arrays as bound attributes BEFORE argmin —
+    # array_position(expr, array_min(expr)) would re-run the interpreted
+    # transform (16-dim sq-L2 x 8 codes) twice per subspace otherwise
+    staged = subs.select(
+        "vec_id",
+        *[
+            _pq_dists_expr(F.col(f"s{m}"), m).alias(f"d{m}")
+            for m in range(M_SUB)
+        ],
+    )
+    codes = staged.select(
         "vec_id",
         *[
             F.array_position(
-                _pq_dists_expr(F.col(f"s{m}"), m),
-                F.array_min(_pq_dists_expr(F.col(f"s{m}"), m)),
+                F.col(f"d{m}"), F.array_min(F.col(f"d{m}"))
             ).cast("int").alias(f"code{m}")
             for m in range(M_SUB)
         ],
