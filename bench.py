@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram_overlap",
     "events_sessionize",
     "events_asof_join",
+    "events_funnel",
     "corpus_stratified_sample",
     "corpus_window_dedup",
     "corpus_domain_stats",

@@ -20,7 +20,12 @@ Arrow pandas UDF and in the golden generator):
    ``<blockquote>`` paragraphs get ``> ``;
 5. ``<img src=...>`` becomes ``![{src}]({src})`` so the image-placeholder
    stage applies to HTML docs too;
-6. remaining tags drop; block tags break paragraphs; whitespace collapses
+6. ``<pre>`` becomes a fenced code block (inner lines preserved, blank
+   runs collapsed to one newline); ``<table>`` becomes a pipe table
+   (first row is the header, cell pipes escaped); inline ``<a href>`` /
+   ``<strong>|<b>`` / ``<em>|<i>`` / ``<code>`` become
+   ``[text](href)`` / ``**text**`` / ``*text*`` / `` `text` ``;
+7. remaining tags drop; block tags break paragraphs; whitespace collapses
    per paragraph; HTML entities (named common + numeric) unescape.
 """
 
@@ -51,6 +56,16 @@ _HEADING_RE = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>", re.S | re.I)
 _IMG_RE = re.compile(r"<img\b[^>]*?src\s*=\s*[\"']([^\"']*)[\"'][^>]*>", re.S | re.I)
 _LI_RE = re.compile(r"<li\b[^>]*>(.*?)</li\s*>", re.S | re.I)
 _BLOCKQUOTE_RE = re.compile(r"<blockquote\b[^>]*>(.*?)</blockquote\s*>", re.S | re.I)
+_PRE_RE = re.compile(r"<pre\b[^>]*>(.*?)</pre\s*>", re.S | re.I)
+_TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.S | re.I)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.S | re.I)
+_CELL_RE = re.compile(r"<t[hd]\b[^>]*>(.*?)</t[hd]\s*>", re.S | re.I)
+_LINK_RE = re.compile(
+    r"<a\b[^>]*?href\s*=\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a\s*>", re.S | re.I
+)
+_STRONG_RE = re.compile(r"<(?:strong|b)\b[^>]*>(.*?)</(?:strong|b)\s*>", re.S | re.I)
+_EM_RE = re.compile(r"<(?:em|i)\b[^>]*>(.*?)</(?:em|i)\s*>", re.S | re.I)
+_CODE_RE = re.compile(r"<code\b[^>]*>(.*?)</code\s*>", re.S | re.I)
 
 # block-level boundaries that force a paragraph break
 _BLOCK_BREAK_RE = re.compile(
@@ -102,7 +117,58 @@ def extract_html_markdown(data: bytes) -> str:
         text = _clean_inline(m.group(1))
         return f"\n\n\x00> {text}\x00\n\n" if text else "\n\n"
 
+    def _pre(m: re.Match) -> str:
+        # fenced code block: inner tags drop, entities unescape, line
+        # structure survives (blank runs collapse so the block splitter
+        # below cannot cut the fence in half)
+        body = _htmllib.unescape(_TAG_RE.sub("", m.group(1)))
+        body = re.sub(r"\n\s*\n+", "\n", body).strip("\n")
+        if not body.strip():
+            return "\n\n"
+        return f"\n\n\x00```\n{body}\n```\x00\n\n"
+
+    def _table(m: re.Match) -> str:
+        rows = []
+        for tr in _TR_RE.findall(m.group(1)):
+            cells = [
+                _clean_inline(c).replace("|", "\\|")
+                for c in _CELL_RE.findall(tr)
+            ]
+            if cells:
+                rows.append("| " + " | ".join(cells) + " |")
+        if not rows:
+            return "\n\n"
+        n_cols = rows[0].count(" | ") + 1
+        rows.insert(1, "|" + " --- |" * n_cols)
+        return "\n\n\x00" + "\n".join(rows) + "\x00\n\n"
+
+    # inline conversions FIRST (their markers are plain text, so the
+    # structural handlers' _clean_inline keeps them); <pre> is consumed
+    # before them so code is never rewritten
+    raw = _PRE_RE.sub(_pre, raw)
+    raw = _LINK_RE.sub(
+        lambda m: (
+            f"[{_clean_inline(m.group(2))}]({m.group(1).strip()})"
+            if m.group(1).strip() and _clean_inline(m.group(2))
+            else _clean_inline(m.group(2))
+        ),
+        raw,
+    )
+    raw = _STRONG_RE.sub(
+        lambda m: f"**{_clean_inline(m.group(1))}**"
+        if _clean_inline(m.group(1)) else "", raw,
+    )
+    raw = _EM_RE.sub(
+        lambda m: f"*{_clean_inline(m.group(1))}*"
+        if _clean_inline(m.group(1)) else "", raw,
+    )
+    raw = _CODE_RE.sub(
+        lambda m: f"`{_clean_inline(m.group(1))}`"
+        if _clean_inline(m.group(1)) else "", raw,
+    )
+
     has_h1 = bool(re.search(r"<h1\b", raw, re.I))
+    raw = _TABLE_RE.sub(_table, raw)
     raw = _HEADING_RE.sub(_heading, raw)
     raw = _IMG_RE.sub(_img, raw)
     raw = _LI_RE.sub(_li, raw)

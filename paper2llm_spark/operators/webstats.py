@@ -413,10 +413,121 @@ WHERE strat_bucket < (CASE {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
 """
 
 
+# ---------------------------------------------------------------------------
+# ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def funnel_frame(ev: DataFrame) -> DataFrame:
+    """Per-user ordered funnel: first view, first click strictly after
+    that view, first purchase strictly after that click.
+
+    ONE shuffle on user_id: the per-user event sequence is sorted
+    (collect_list + array_sort) and walked with a single fold — the
+    sequence-match semantics (step k+1 must come after the COMPLETED
+    step k) are not expressible as independent min() aggregates, but the
+    fold keeps them inside one map-side-combinable aggregation. Per-user
+    arrays are bounded by user activity (production caps with a slice).
+
+    Tie semantics are INCLUSIVE (an event at exactly the prior step's
+    timestamp advances the funnel): the sort key is (ts, funnel_rank),
+    so at equal ts the earlier step is folded first — matched by the
+    dual's `>=` comparisons.
+
+    Missing steps emit the epoch sentinel instead of NULL timestamps
+    (nullable columns round-trip poorly through Arrow; same convention
+    as asof_join_frame).
+    """
+    rk = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(3)
+    )
+    per_user = (
+        ev.select("user_id", "ts", rk.alias("rk"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "rk"))).alias("evs")
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+    walked = F.aggregate(
+        "evs",
+        init,
+        lambda acc, e: F.struct(
+            F.coalesce(
+                acc["t1"], F.when(e["rk"] == 0, e["ts"])
+            ).alias("t1"),
+            F.coalesce(
+                acc["t2"],
+                F.when((e["rk"] == 1) & acc["t1"].isNotNull(), e["ts"]),
+            ).alias("t2"),
+            F.coalesce(
+                acc["t3"],
+                F.when((e["rk"] == 2) & acc["t2"].isNotNull(), e["ts"]),
+            ).alias("t3"),
+        ),
+    )
+    return per_user.select("user_id", walked.alias("f")).select(
+        "user_id",
+        F.coalesce(F.col("f.t1"), F.expr(_EPOCH)).alias("view_ts"),
+        F.coalesce(F.col("f.t2"), F.expr(_EPOCH)).alias("click_ts"),
+        F.coalesce(F.col("f.t3"), F.expr(_EPOCH)).alias("purchase_ts"),
+        F.col("f.t3").isNotNull().alias("converted"),
+    )
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_frame(_events(spark, sf_dir))
+
+
+# The dual states the same semantics relationally: min view, min click
+# at-or-after it, min purchase at-or-after that. Equivalence with the
+# fold: at equal ts the (ts, funnel_rank) sort folds the earlier step
+# first, so an equal-ts event of the NEXT step advances — exactly the
+# inclusive `>=`.
+FUNNEL_SQL = """
+WITH base AS (SELECT DISTINCT user_id FROM events),
+t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+)
+SELECT b.user_id,
+       coalesce(t1.t1, TIMESTAMP '1970-01-01 00:00:00') AS view_ts,
+       coalesce(t2.t2, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+       coalesce(t3.t3, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts,
+       t3.t3 IS NOT NULL AS converted
+FROM base b
+LEFT JOIN t1 ON b.user_id = t1.user_id
+LEFT JOIN t2 ON b.user_id = t2.user_id
+LEFT JOIN t3 ON b.user_id = t3.user_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
     "decontaminate_ngram_overlap": (decontaminate, DECONTAMINATE_SQL),
     "events_sessionize": (sessionize, SESSIONIZE_SQL),
     "events_asof_join": (asof_join, ASOF_JOIN_SQL),
+    "events_funnel": (funnel, FUNNEL_SQL),
     "corpus_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
 }

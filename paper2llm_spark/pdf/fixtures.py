@@ -132,6 +132,16 @@ def _fixture_docs() -> list[dict[str, Any]]:
              b"</body></html>")
     docs.append(_doc("W2-html-title", "https://fixtures.test/html/w2", html2,
                      text="Title Only Page Content paragraph one."))
+    html3 = (b"<html><head><title>Rich Structures</title></head><body>"
+             b"<main><h1>Rich Structures</h1>"
+             b"<p>See <a href='https://x.test/a'>the paper</a> with "
+             b"<strong>bold</strong>, <em>ital</em> and <code>f(x)</code>.</p>"
+             b"<pre>def f():\n    return 1</pre>"
+             b"<table><tr><th>k</th><th>v</th></tr>"
+             b"<tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></table>"
+             b"<h2>References</h2><p>[1] Linked.</p></main></body></html>")
+    docs.append(_doc("W3-html-rich", "https://fixtures.test/html/w3", html3,
+                     text="Rich Structures table code links"))
 
     # ---------------- F-URL (algebra exercised via url column) ----------------
     docs.append(_doc("U1-arxiv", "https://arxiv.org/abs/2401.00042",

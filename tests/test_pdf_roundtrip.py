@@ -127,3 +127,30 @@ def test_html_extract_boilerplate_stripped():
     )
     assert "skip" not in md
     assert md.startswith("# T\n\nkeep this")
+
+
+def test_html_extract_tables_code_links_emphasis():
+    md = extract_html_markdown(
+        b"<html><head><title>T</title></head><body>"
+        b"<p>See <a href='https://x.test/a'>the paper</a> and "
+        b"<strong>bold</strong>, <em>it</em>, <code>f(x)</code>.</p>"
+        b"<pre>def f():\n    return 1\n\nprint(f())</pre>"
+        b"<table><tr><th>name</th><th>val|ue</th></tr>"
+        b"<tr><td>a</td><td>1</td></tr></table>"
+        b"<p>after</p></body></html>"
+    )
+    assert "[the paper](https://x.test/a)" in md
+    assert "**bold**" in md and "*it*" in md and "`f(x)`" in md
+    # fenced block survives the paragraph splitter with inner lines intact
+    assert "```\ndef f():\n    return 1\nprint(f())\n```" in md
+    # pipe table with header separator and escaped cell pipe
+    assert "| name | val\\|ue |\n| --- | --- |\n| a | 1 |" in md
+    assert md.endswith("after")
+
+
+def test_html_extract_inline_degenerate_cases():
+    md = extract_html_markdown(
+        b"<html><body><p>no <a href=''>href</a> and <b></b>empty "
+        b"<table></table>done</p></body></html>"
+    )
+    assert md == "no href and empty\n\ndone"

@@ -417,3 +417,15 @@ def test_tfidf_reuses_tf_frame_for_df(spark):
     plan = _physical(df)
     assert "ReusedExchange" in plan, plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_funnel_single_exchange(spark):
+    """Ordered funnel: one hash exchange on user_id feeding the fold —
+    sequence matching never becomes a self-join cascade."""
+    from paper2llm_spark.operators.webstats import funnel
+
+    plan = _physical(funnel(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning") <= 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct"):
+        assert j not in plan

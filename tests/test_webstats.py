@@ -133,3 +133,34 @@ def test_stratified_sample_rates(spark):
     rates = {"en": 500, "de": 400, "fr": 300, "es": 200}
     for r in rows:
         assert r["strat_bucket"] < rates.get(r["lang"], 100)
+
+
+def test_funnel_ordered_steps_and_ties(spark):
+    from datetime import datetime
+
+    from paper2llm_spark.operators.webstats import funnel_frame
+
+    E = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def ev(i, ts, uid, typ):
+        return (i, datetime(2024, 1, 1, 0, 0, ts), uid, typ, 0.0, "{}")
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        ev(1, 1, 1, "view"), ev(2, 2, 1, "click"), ev(3, 3, 1, "purchase"),
+        # user 2: purchase BEFORE click -> not converted
+        ev(4, 1, 2, "view"), ev(5, 2, 2, "purchase"), ev(6, 3, 2, "click"),
+        # user 3: click before any view -> funnel stops at view
+        ev(7, 1, 3, "click"), ev(8, 2, 3, "view"),
+        # user 4: equal-ts ties advance (inclusive semantics)
+        ev(9, 5, 4, "view"), ev(10, 5, 4, "click"), ev(11, 5, 4, "purchase"),
+    ]
+    out = {r["user_id"]: r for r in funnel_frame(
+        spark.createDataFrame(rows, E)).collect()}
+    assert out[1]["converted"] is True
+    assert out[2]["converted"] is False
+    assert out[2]["click_ts"].second == 3  # the late click still matches
+    assert out[3]["converted"] is False
+    assert out[3]["click_ts"].year == 1970  # no click after the view
+    assert out[4]["converted"] is True
+    assert out[4]["view_ts"] == out[4]["click_ts"] == out[4]["purchase_ts"]
