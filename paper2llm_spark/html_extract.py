@@ -16,8 +16,9 @@ Arrow pandas UDF and in the golden generator):
 2. strip boilerplate containers ``<nav>``, ``<header>``, ``<footer>``,
    ``<aside>`` wholesale (DOM-heuristic boilerplate removal);
 3. ``<title>`` becomes the leading ``# `` heading (if no ``<h1>`` exists);
-4. ``<h1>``-``<h6>`` become ``#``-headings, ``<li>`` becomes ``- `` items,
-   ``<blockquote>`` paragraphs get ``> ``;
+4. ``<h1>``-``<h6>`` become ``#``-headings, ``<ol>`` items become
+   ``1.``/``2.``/... (non-nested), remaining ``<li>`` become ``- ``
+   items, ``<blockquote>`` paragraphs get ``> ``;
 5. ``<img src=...>`` becomes ``![{src}]({src})`` so the image-placeholder
    stage applies to HTML docs too;
 6. ``<pre>`` becomes a fenced code block (inner lines preserved, blank
@@ -57,6 +58,7 @@ _IMG_RE = re.compile(r"<img\b[^>]*?src\s*=\s*[\"']([^\"']*)[\"'][^>]*>", re.S | 
 _LI_RE = re.compile(r"<li\b[^>]*>(.*?)</li\s*>", re.S | re.I)
 _BLOCKQUOTE_RE = re.compile(r"<blockquote\b[^>]*>(.*?)</blockquote\s*>", re.S | re.I)
 _PRE_RE = re.compile(r"<pre\b[^>]*>(.*?)</pre\s*>", re.S | re.I)
+_OL_RE = re.compile(r"<ol\b[^>]*>(.*?)</ol\s*>", re.S | re.I)
 _TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.S | re.I)
 _TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.S | re.I)
 _CELL_RE = re.compile(r"<t[hd]\b[^>]*>(.*?)</t[hd]\s*>", re.S | re.I)
@@ -167,8 +169,22 @@ def extract_html_markdown(data: bytes) -> str:
         if _clean_inline(m.group(1)) else "", raw,
     )
 
+    def _ol(m: re.Match) -> str:
+        # numbered items; consumed before the generic <li> handler so
+        # ordered lists keep their 1./2./3. markers (non-nested scope)
+        items = [
+            _clean_inline(li) for li in _LI_RE.findall(m.group(1))
+        ]
+        items = [t for t in items if t]
+        if not items:
+            return "\n\n"
+        return "".join(
+            f"\n\n\x00{i + 1}. {t}\x00\n\n" for i, t in enumerate(items)
+        )
+
     has_h1 = bool(re.search(r"<h1\b", raw, re.I))
     raw = _TABLE_RE.sub(_table, raw)
+    raw = _OL_RE.sub(_ol, raw)
     raw = _HEADING_RE.sub(_heading, raw)
     raw = _IMG_RE.sub(_img, raw)
     raw = _LI_RE.sub(_li, raw)

@@ -154,3 +154,11 @@ def test_html_extract_inline_degenerate_cases():
         b"<table></table>done</p></body></html>"
     )
     assert md == "no href and empty\n\ndone"
+
+
+def test_html_extract_ordered_vs_unordered_lists():
+    md = extract_html_markdown(
+        b"<html><body><ol><li>first</li><li>second</li></ol>"
+        b"<ul><li>bullet a</li><li>bullet b</li></ul></body></html>"
+    )
+    assert md == "1. first\n\n2. second\n\n- bullet a\n\n- bullet b"
