@@ -82,25 +82,26 @@ def dsir_weights_frame(docs: DataFrame) -> DataFrame:
         "doc_id", "lang",
         (portable_hash60(F.col("g")) % DSIR_BUCKETS).alias("b"),
     )
-    src = grams.groupBy("b").agg(F.count("*").alias("cs"))
-    tgt = (
-        grams.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # source AND target bucket counts in ONE map-side-combinable pass
+    # (the target count is a conditional agg, not a second corpus scan)
+    counts = grams.groupBy("b").agg(
+        F.count("*").alias("cs"),
+        F.count(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+        ).alias("ct"),
     )
-    totals = src.agg(F.sum("cs").alias("ts")).crossJoin(
-        tgt.agg(F.sum("ct").alias("tt"))
+    totals = counts.agg(
+        F.sum("cs").alias("ts"), F.sum("ct").alias("tt")
     )
     # bucket log-ratio in exact micro-nats; identical expression shape in
     # the dual so the doubles agree bit-for-bit before the floor
     lr = (
-        src.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.floor(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    ((F.col("ct") + F.lit(1.0))
                      / (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
                     / ((F.col("cs") + F.lit(1.0))
                        / (F.col("ts") + F.lit(float(DSIR_BUCKETS))))
@@ -145,18 +146,18 @@ grams AS (
          {sql_hash60("g")} % {DSIR_BUCKETS} AS b
   FROM (SELECT doc_id, lang, unnest({_BIGRAMS}) AS g FROM toks)
 ),
-src AS (SELECT b, count(*) AS cs FROM grams GROUP BY b),
-tgt AS (SELECT b, count(*) AS ct FROM grams
-        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
-totals AS (
-  SELECT (SELECT sum(cs) FROM src) AS ts, (SELECT sum(ct) FROM tgt) AS tt
+counts AS (
+  SELECT b, count(*) AS cs,
+         count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct
+  FROM grams GROUP BY b
 ),
+totals AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM counts),
 lr AS (
-  SELECT src.b,
-         floor(ln(((coalesce(ct, 0) + 1.0) / (tt + {float(DSIR_BUCKETS)}))
+  SELECT b,
+         floor(ln(((ct + 1.0) / (tt + {float(DSIR_BUCKETS)}))
                   / ((cs + 1.0) / (ts + {float(DSIR_BUCKETS)})))
                * 1000000 + 0.5)::BIGINT AS lr_micro
-  FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN totals
+  FROM counts CROSS JOIN totals
 ),
 per_doc AS (
   SELECT doc_id, count(*)::BIGINT AS n_grams, sum(lr_micro) AS sum_micro
