@@ -300,15 +300,14 @@ def sequence_pack_frame(docs: DataFrame) -> DataFrame:
     input. Sequence ids are (shard, seq_idx) so they never collide
     across streams.
     """
-    from ..functions.text import portable_hash60 as _h60
+    from pyspark.sql import Window
 
     t = docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
-        (_h60(F.col("doc_id").cast("string")) % N_PACK_SHARDS).alias("shard"),
+        (portable_hash60(F.col("doc_id").cast("string")) % N_PACK_SHARDS)
+        .alias("shard"),
     )
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

@@ -24,7 +24,6 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .incremental import PAGES_SCHEMA  # noqa: F401  (shared schema pattern)
 from pyspark.sql import types as T
 
 DOCS_SCHEMA = T.StructType(
@@ -63,11 +62,9 @@ def incremental_exact_dedup(
         fresh = batch_df.groupBy(F.md5("text").alias("content_md5")).agg(
             F.min("doc_id").alias("keep_doc_id")
         )
-        try:
+        if os.path.isdir(out_path):  # first batch: no sink yet
             seen = spark.read.parquet(out_path).select("content_md5")
             fresh = fresh.join(seen, "content_md5", "left_anti")
-        except Exception:
-            pass  # first batch: no sink yet
         fresh.write.mode("append").parquet(out_path)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
