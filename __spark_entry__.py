@@ -355,13 +355,14 @@ FROM documents GROUP BY md5(text)
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webcorpus, webselect, webstats,
+        sink, textstats, webcorpus, webgraph, webquality, webselect,
+        webstats,
     )
 
     registry: dict[str, tuple] = {}
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
-                   sink):
+                   sink, webquality, webgraph):
         registry.update(module.QUERIES)
     registry["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     registry["extract_html_pipeline_desc"] = (

@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "corpus_url_dedup",
     "corpus_sequence_pack",
     "corpus_mixture_plan",
+    "corpus_gopher_rules",
+    "corpus_c4_filters",
+    "web_pagerank",
 ]
 
 

@@ -429,3 +429,40 @@ def test_funnel_single_exchange(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
               "CartesianProduct"):
         assert j not in plan
+
+
+def test_gopher_rules_scan_side_only(spark):
+    """The Gopher rule battery folds staged token arrays in the scan
+    task: no joins, no hash exchanges, no Python anywhere."""
+    from paper2llm_spark.operators.webquality import gopher_rules
+
+    plan = _physical(gopher_rules(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_filters_scan_side_only(spark):
+    """C4 line filters run as array lambdas over split(text): the whole
+    query (line synthesis included) is scan -> project, zero exchanges
+    — never the explode+regroup shape that pays two shuffles."""
+    from paper2llm_spark.operators.webquality import c4_filters
+
+    plan = _physical(c4_filters(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins_on_short_keys(spark):
+    """PageRank rounds: every join is an equi-join (rank-to-edge and
+    rank-refresh), never cartesian; the edge list is checkpointed so
+    per-round lineage does not re-derive the graph."""
+    from paper2llm_spark.operators.webgraph import pagerank
+
+    df = pagerank(spark, "/root/testdata/sf0.001")
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # checkpointed edges appear as an ExistingRDD scan, not a re-derivation
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

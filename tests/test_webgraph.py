@@ -1,0 +1,84 @@
+"""Semantic tests for the web-graph PageRank operator.
+
+The strongest check is an exact replay: the synthetic edge derivation
+and the integer-arithmetic iteration are both deterministic, so a pure
+Python replica (hashlib md5 for the portable hash, floor division for
+the micro-unit updates) must reproduce the Spark output bit-for-bit.
+Cross-engine equality vs DuckDB is covered by test_driver_contract.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from paper2llm_spark.operators.webgraph import (
+    PR_BASE,
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_INIT,
+    PR_ITERS,
+    PR_OUT_K,
+    pagerank_frame,
+    synth_edges,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_pagerank(n: int) -> dict[int, int]:
+    edges = set()
+    for src in range(n):
+        for k in range(PR_OUT_K):
+            dst = _h60(f"{src}:{k}") % n
+            if dst != src:
+                edges.add((src, dst))
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {i: PR_INIT for i in range(n)}
+    for _ in range(PR_ITERS):
+        sums: dict[int, int] = {}
+        for s, d in edges:
+            sums[d] = sums.get(d, 0) + ranks[s] // deg[s]
+        ranks = {
+            i: PR_BASE + (PR_DAMP_NUM * sums.get(i, 0)) // PR_DAMP_DEN
+            for i in range(n)
+        }
+    return ranks
+
+
+def _spark_pagerank(spark, n: int) -> dict[int, int]:
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    out = pagerank_frame(nodes, synth_edges(nodes, n))
+    return {r["doc_id"]: r["rank_micro"] for r in out.collect()}
+
+
+def test_pagerank_matches_pure_python_replay_exactly(spark):
+    n = 40
+    assert _spark_pagerank(spark, n) == _py_pagerank(n)
+
+
+def test_pagerank_unlinked_node_holds_base_mass(spark):
+    # replay to find a node with no inlinks at n=40; if none exists the
+    # assertion below still verifies every rank >= the base mass
+    n = 40
+    ranks = _spark_pagerank(spark, n)
+    py = _py_pagerank(n)
+    assert all(v >= PR_BASE for v in ranks.values())
+    sinks = [i for i in range(n) if py[i] == PR_BASE]
+    for i in sinks:
+        assert ranks[i] == PR_BASE
+
+
+def test_synth_edges_no_self_loops_and_bounded_outdegree(spark):
+    n = 25
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    rows = synth_edges(nodes, n).collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    assert all(0 <= r["dst"] < n for r in rows)
+    from collections import Counter
+
+    outdeg = Counter(r["src"] for r in rows)
+    assert max(outdeg.values()) <= PR_OUT_K

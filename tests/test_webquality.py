@@ -1,0 +1,122 @@
+"""Semantic tests for the quality rule batteries (Gopher §A1.1 rules,
+C4 §2.2 line filters).
+
+Cross-engine value equality vs DuckDB is covered by the parametrized
+oracle gate in test_driver_contract.py; these pin the SEMANTICS on
+crafted inputs where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+from paper2llm_spark.operators.webquality import (
+    C4_MIN_KEPT_LINES,
+    GOPHER_MIN_WORDS,
+    c4_filter_frame,
+    gopher_rules_frame,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _doc(i, text):
+    return (i, text, "en", "s0", len(text))
+
+
+def _gopher(spark, rows):
+    return {
+        r["doc_id"]: r
+        for r in gopher_rules_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+
+
+def test_gopher_good_doc_keeps(spark):
+    # 60 words, avg length in [3,10], all alphabetic, has "the"
+    good = " ".join(["the"] + ["word"] * (GOPHER_MIN_WORDS + 9))
+    out = _gopher(spark, [_doc(1, good)])
+    r = out[1]
+    assert r["keep"] and all(
+        r[f] for f in ("r_word_count", "r_word_len", "r_alpha", "r_symbol",
+                       "r_stopwords")
+    )
+    assert r["n_words"] == GOPHER_MIN_WORDS + 10
+
+
+def test_gopher_word_count_bounds(spark):
+    short = " ".join(["the"] + ["word"] * 5)
+    out = _gopher(spark, [_doc(1, short)])
+    assert not out[1]["r_word_count"] and not out[1]["keep"]
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    # 2-char words -> mean word length 2 < 3
+    tiny = " ".join(["the"] + ["ab"] * (GOPHER_MIN_WORDS + 9))
+    # 12-char words -> mean 12 > 10
+    long_ = " ".join(["the"] + ["abcdefghijkl"] * (GOPHER_MIN_WORDS + 9))
+    out = _gopher(spark, [_doc(1, tiny), _doc(2, long_)])
+    assert not out[1]["r_word_len"] and not out[2]["r_word_len"]
+
+
+def test_gopher_alpha_and_symbol_rules(spark):
+    # 40% numeric words -> alpha ratio 0.6 < 0.8
+    numeric = " ".join(
+        ["the"] + ["word", "word", "123", "456"] * ((GOPHER_MIN_WORDS + 8) // 4)
+    )
+    # every 5th word is a '#'-prefixed tag -> symbol ratio 0.2 > 0.1
+    hashy = " ".join(
+        ["the"] + ["w1", "w2", "w3", "#tag"] * ((GOPHER_MIN_WORDS + 8) // 4)
+    )
+    out = _gopher(spark, [_doc(1, numeric), _doc(2, hashy)])
+    assert not out[1]["r_alpha"]
+    assert not out[2]["r_symbol"]
+
+
+def test_gopher_stopword_rule(spark):
+    no_stop = " ".join(["word"] * (GOPHER_MIN_WORDS + 10))
+    out = _gopher(spark, [_doc(1, no_stop)])
+    assert out[1]["n_req_stopwords"] == 0 and not out[1]["r_stopwords"]
+
+
+def _c4(spark, rows):
+    return {
+        r["doc_id"]: r
+        for r in c4_filter_frame(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+
+
+def test_c4_keeps_terminal_punct_lines_with_enough_words(spark):
+    text = "\n".join(
+        [
+            "this line has five good words.",   # kept
+            "too few words here.",               # 4 words -> dropped
+            "no terminal punctuation on this line",  # dropped
+            'a quoted sentence ending in quotes here."',  # kept
+            "another fine sentence with several words!",  # kept
+        ]
+    )
+    r = _c4(spark, [_doc(1, text)])[1]
+    assert r["n_lines"] == 5 and r["n_kept_lines"] == 3
+    assert r["clean_text"].count("\n") == 2
+    assert r["keep"]  # 3 kept lines == C4_MIN_KEPT_LINES
+
+
+def test_c4_drops_lorem_and_brace_pages(spark):
+    base = "\n".join(["a sentence with enough words here."] * C4_MIN_KEPT_LINES)
+    lorem = base + "\nLorem Ipsum dolor sit amet."
+    brace = base + "\nfunction f() { return 1; }"
+    out = _c4(spark, [_doc(1, lorem), _doc(2, brace), _doc(3, base)])
+    assert not out[1]["keep"] and not out[2]["keep"] and out[3]["keep"]
+
+
+def test_c4_too_few_kept_lines_drops_page(spark):
+    text = "\n".join(["good sentence with plenty of words."] * (C4_MIN_KEPT_LINES - 1))
+    r = _c4(spark, [_doc(1, text)])[1]
+    assert r["n_kept_lines"] == C4_MIN_KEPT_LINES - 1 and not r["keep"]
+
+
+def test_c4_empty_kept_set_gives_empty_clean_text(spark):
+    r = _c4(spark, [_doc(1, "no punctuation at all here")])[1]
+    assert r["n_kept_lines"] == 0 and r["clean_text"] == "" and not r["keep"]
