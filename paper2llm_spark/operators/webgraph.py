@@ -145,6 +145,106 @@ r{i} AS (SELECT d.doc_id,
 PAGERANK_SQL = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# outlink extraction -> host-level link graph
+# ---------------------------------------------------------------------------
+
+OL_OUT_K = 4       # synthesized anchors per page
+OL_HOSTS = 16      # synthetic target-host universe
+
+
+def outlinks_frame(pages: DataFrame) -> DataFrame:
+    """(url, html:binary) pages -> host-level link graph.
+
+    The crawl-frontier aggregation every CC-style pipeline runs before
+    centrality: decode the payload, pull every ``<a href>`` target with
+    one ``regexp_extract_all`` (codegen, scan task), explode to edge
+    rows carrying only two short host strings, and count per
+    (src_host, dst_host).  The single shuffle moves (host, host, 1)
+    partial counts — never html — and map-side combine collapses the
+    per-page fanout before the exchange.  Output is |hosts|^2-bounded.
+    """
+    host = lambda c: F.regexp_extract(c, r"https://([^/]+)/", 1)  # noqa: E731
+    hrefs = F.expr(
+        r"""regexp_extract_all(decode(html, 'UTF-8'),
+                               '<a href="([^"]+)"', 1)"""
+    )
+    return (
+        pages.select(host(F.col("url")).alias("src_host"),
+                     F.explode(hrefs).alias("href"))
+        .select("src_host", host(F.col("href")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _synth_linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages whose html carries OL_OUT_K deterministic
+    anchors (hash-chosen target hosts), built in SQL so the DuckDB dual
+    synthesizes byte-identical payloads."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(OL_OUT_K - 1)),
+            lambda k: F.concat(
+                F.lit('<a href="https://h'),
+                (
+                    portable_hash60(
+                        F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                                 k.cast("string"))
+                    )
+                    % OL_HOSTS
+                ).cast("string"),
+                F.lit('.test/d/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">ref</a>'),
+            ),
+        ),
+        "",
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".test/"),
+            F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+                anchors, F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+
+
+def outlink_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return outlinks_frame(_synth_linked_pages(spark, sf_dir))
+
+
+_OL_HASH = sql_hash60("doc_id || '#' || k")
+
+OUTLINK_HOSTGRAPH_SQL = f"""
+WITH p AS (
+  SELECT source || '.test' AS src_host,
+         '<html><body><p>' || text || '</p>' ||
+         (SELECT string_agg('<a href="https://h' || ({_OL_HASH}) % {OL_HOSTS}
+                            || '.test/d/' || doc_id || '">ref</a>', ''
+                            ORDER BY k)
+          FROM range(0, {OL_OUT_K}) t(k)) || '</body></html>' AS html
+  FROM documents
+),
+e AS (
+  SELECT src_host,
+         regexp_extract(unnest(regexp_extract_all(html,
+             '<a href="([^"]+)"', 1)), 'https://([^/]+)/', 1) AS dst_host
+  FROM p
+)
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM e GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "web_pagerank": (pagerank, PAGERANK_SQL),
+    "web_outlink_hostgraph": (outlink_hostgraph, OUTLINK_HOSTGRAPH_SQL),
 }

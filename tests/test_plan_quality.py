@@ -466,3 +466,16 @@ def test_pagerank_iterations_are_equi_joins_on_short_keys(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # checkpointed edges appear as an ExistingRDD scan, not a re-derivation
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
+def test_outlink_hostgraph_single_partial_agg_no_joins(spark):
+    """Outlink extraction: href pull + host parse stay in the scan
+    task; the one exchange carries (host, host, partial count) rows —
+    map-side combine must survive, and no join appears anywhere."""
+    from paper2llm_spark.operators.webgraph import outlink_hostgraph
+
+    plan = _physical(outlink_hostgraph(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -82,3 +82,22 @@ def test_synth_edges_no_self_loops_and_bounded_outdegree(spark):
 
     outdeg = Counter(r["src"] for r in rows)
     assert max(outdeg.values()) <= PR_OUT_K
+
+
+def test_outlinks_frame_counts_host_pairs(spark):
+    from paper2llm_spark.operators.webgraph import outlinks_frame
+
+    html1 = (b'<html><body><p>x</p>'
+             b'<a href="https://a.test/1">r</a>'
+             b'<a href="https://a.test/2">r</a>'
+             b'<a href="https://b.test/3">r</a></body></html>')
+    html2 = b'<html><body><p>no links</p></body></html>'
+    pages = spark.createDataFrame(
+        [("https://s.test/1", html1), ("https://s.test/2", html2)],
+        "url string, html binary",
+    )
+    rows = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in outlinks_frame(pages).collect()
+    }
+    assert rows == {("s.test", "a.test"): 2, ("s.test", "b.test"): 1}
