@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "corpus_mixture_plan",
     "corpus_gopher_rules",
     "corpus_c4_filters",
+    "text_quality_classifier",
     "web_pagerank",
     "web_outlink_hostgraph",
 ]

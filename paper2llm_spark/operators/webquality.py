@@ -281,7 +281,97 @@ FROM x
 """
 
 
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style inference)
+# ---------------------------------------------------------------------------
+
+QCLF_BUCKETS = 512
+QCLF_THRESH_MICRO = 0  # keep iff mean token weight >= 0
+
+
+def _qclf_weights() -> list[int]:
+    """Deterministic classifier weights in micro-units, one per hash
+    bucket, seeded from md5 so both engines inline the SAME literal
+    table (the DSIR/PQ technique).  Range [-1.0, 1.0]."""
+    import hashlib
+
+    out = []
+    for b in range(QCLF_BUCKETS):
+        h = int(hashlib.md5(f"qclf-w-{b}".encode()).hexdigest()[:15], 16)
+        out.append(h % 2_000_001 - 1_000_000)
+    return out
+
+
+QCLF_WEIGHTS = _qclf_weights()
+
+
+def quality_classifier_frame(docs: DataFrame) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016;
+    the GPT-3/LLaMA curation stage: Brown et al. 2020 Appendix A's
+    "quality classifier" over hashed word features).
+
+    Inference is ONE codegen projection in the scan task — zero joins,
+    zero exchanges, no Python: each token hashes to one of
+    ``QCLF_BUCKETS`` feature buckets (the hashing trick), the weight
+    table rides the plan as a single array literal staged as a bound
+    attribute, and the document logit is the mean bucket weight.  At
+    10^12 documents this is embarrassingly parallel; a real trained
+    model drops in by replacing the literal table (a 512-int broadcast
+    is free at any scale).  The keep decision compares exact bigint
+    micro-units cross-multiplied by the token count — bit-identical
+    across engines, no float threshold."""
+    staged = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("w", F.lit(QCLF_WEIGHTS))
+    sum_w = F.aggregate(
+        F.col("toks"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(
+            F.col("w"), (portable_hash60(t) % QCLF_BUCKETS).cast("int") + 1
+        ),
+    )
+    n_toks = F.size("toks").cast("bigint")
+    return staged.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.when(n_toks == 0, F.lit(0.0))
+        .otherwise(_round4(sum_w / 1000000.0 / n_toks))
+        .alias("logit"),
+        (sum_w >= QCLF_THRESH_MICRO * n_toks).alias("keep"),
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_frame(_docs(spark, sf_dir))
+
+
+_W_LIST = "[" + ", ".join(str(w) for w in QCLF_WEIGHTS) + "]"
+_BUCKET = f"((('0x' || substr(md5(x), 1, 15))::BIGINT) % {QCLF_BUCKETS})::INT"
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS tok FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tok)::BIGINT AS n_toks,
+         coalesce(list_sum(list_transform(tok,
+                     x -> ({_W_LIST})[{_BUCKET} + 1])), 0)::BIGINT AS sum_w
+  FROM t
+)
+SELECT doc_id,
+       n_toks,
+       CASE WHEN n_toks = 0 THEN 0.0
+            ELSE floor(sum_w / 1000000.0 / n_toks * 10000 + 0.5) / 10000
+       END AS logit,
+       (sum_w >= {QCLF_THRESH_MICRO} * n_toks) AS keep
+FROM m
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "corpus_gopher_rules": (gopher_rules, GOPHER_RULES_SQL),
     "corpus_c4_filters": (c4_filters, C4_FILTERS_SQL),
+    "text_quality_classifier": (quality_classifier, QUALITY_CLASSIFIER_SQL),
 }

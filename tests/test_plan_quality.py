@@ -454,6 +454,18 @@ def test_c4_filters_scan_side_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_quality_classifier_scan_side_only(spark):
+    """Hashed-linear classifier inference is ONE codegen projection:
+    the weight table rides as an array literal, tokens fold in the scan
+    task — no joins, no exchanges, no Python."""
+    from paper2llm_spark.operators.webquality import quality_classifier
+
+    plan = _physical(quality_classifier(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pagerank_iterations_are_equi_joins_on_short_keys(spark):
     """PageRank rounds: every join is an equi-join (rank-to-edge and
     rank-refresh), never cartesian; the edge list is checkpointed so

@@ -120,3 +120,58 @@ def test_c4_too_few_kept_lines_drops_page(spark):
 def test_c4_empty_kept_set_gives_empty_clean_text(spark):
     r = _c4(spark, [_doc(1, "no punctuation at all here")])[1]
     assert r["n_kept_lines"] == 0 and r["clean_text"] == "" and not r["keep"]
+
+
+def test_quality_classifier_matches_pure_python_replay(spark):
+    """The Spark logit/keep must equal a hashlib replay of the hashed
+    linear model (same md5 bucket, same literal weight table)."""
+    import hashlib
+    import math
+
+    from paper2llm_spark.operators.webquality import (
+        QCLF_BUCKETS,
+        QCLF_WEIGHTS,
+        quality_classifier_frame,
+    )
+
+    def replay(text):
+        toks = [t for t in text.lower().split() if t]
+        sum_w = sum(
+            QCLF_WEIGHTS[
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % QCLF_BUCKETS
+            ]
+            for t in toks
+        )
+        logit = (
+            0.0
+            if not toks
+            else math.floor(sum_w / 1e6 / len(toks) * 10000 + 0.5) / 10000
+        )
+        return len(toks), logit, sum_w >= 0
+
+    docs = [
+        _doc(1, "the quick brown fox jumps over the lazy dog"),
+        _doc(2, "Mixed CASE Tokens  with   runs of spaces"),
+        _doc(3, "singleton"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_frame(
+            spark.createDataFrame(docs, DOC_SCHEMA)
+        ).collect()
+    }
+    for i, (_, text, *_rest) in enumerate(docs, start=0):
+        doc_id = docs[i][0]
+        n, logit, keep = replay(docs[i][1])
+        r = out[doc_id]
+        assert (r["n_toks"], r["logit"], r["keep"]) == (n, logit, keep)
+
+
+def test_quality_classifier_empty_text(spark):
+    from paper2llm_spark.operators.webquality import quality_classifier_frame
+
+    r = quality_classifier_frame(
+        spark.createDataFrame([_doc(1, "")], DOC_SCHEMA)
+    ).collect()[0]
+    # empty doc: zero tokens, zero-sum logit, kept (0 >= 0)
+    assert r["n_toks"] == 0 and r["logit"] == 0.0 and r["keep"]
