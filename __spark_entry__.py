@@ -359,10 +359,12 @@ def _registry() -> dict[str, tuple]:
         webstats,
     )
 
+    from paper2llm_spark.sources import warc
+
     registry: dict[str, tuple] = {}
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
-                   sink, webquality, webgraph):
+                   sink, webquality, webgraph, warc):
         registry.update(module.QUERIES)
     registry["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     registry["extract_html_pipeline_desc"] = (

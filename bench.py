@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "corpus_gopher_rules",
     "corpus_c4_filters",
     "text_quality_classifier",
+    "source_warc_scan",
     "web_pagerank",
     "web_outlink_hostgraph",
 ]

@@ -1,0 +1,256 @@
+"""WARC source — read Common-Crawl's native container format into the
+pages table shape (SURVEY.md §2.1 S1 family; ISO 28500 / WARC 1.0).
+
+The engine's canonical input is the Iceberg/parquet pages table, but a
+crawl lands as WARC: concatenated records, each a CRLF-terminated
+header block (``WARC/1.0`` + name: value lines) followed by exactly
+``Content-Length`` payload bytes.  ``read_warc`` turns a directory of
+``.warc`` / ``.warc.gz`` files into ``(url, warc_ts, html, text,
+lang)`` rows ready for ``select_extractable`` -> the extract pipeline,
+so a crawl can be processed without a separate conversion job.
+
+Scale shape: ``binaryFile`` hands each archive to ONE task — the
+standard WARC processing granularity (crawl archives are written as
+~1 GB rotated files precisely so per-file parallelism saturates a
+cluster; Common Crawl's own reference jobs parallelize per file).
+Parsing is a single forward pass over the bytes inside an Arrow
+``mapInPandas`` — no per-row Python UDF, no regex over payloads, and
+record boundaries come from Content-Length arithmetic, never from
+scanning payload bytes for markers (payloads may legally contain
+``WARC/1.0``).  Memory per task is bounded by one archive.
+
+The writer exists for fixtures and tests (the reference engine never
+writes WARC); it emits spec-compliant ``response`` records plus the
+``warcinfo`` preamble real crawls carry, so the reader's record-type
+filter is exercised, not decorative.  Gzip variant: whole-file gzip
+(multi-member streams from per-record compression also decode —
+``gzip`` reads concatenated members).
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_WARC_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+_LANG_HEADER = "WARC-Identified-Content-Language"  # the Common Crawl header
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures/tests only)
+# ---------------------------------------------------------------------------
+
+def warc_record(
+    rec_type: str,
+    url: str | None,
+    ts: datetime,
+    payload: bytes,
+    lang: str | None = None,
+) -> bytes:
+    """One spec-compliant WARC record: header block, blank line,
+    ``Content-Length`` payload bytes, record separator."""
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rec_type.encode(),
+        b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if url is not None:
+        lines.insert(2, b"WARC-Target-URI: " + url.encode())
+    if lang is not None:
+        lines.append(_LANG_HEADER.encode() + b": " + lang.encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def warc_bytes(records: list[tuple[str, datetime, bytes, str]]) -> bytes:
+    """A whole archive: warcinfo preamble + one response record per
+    (url, ts, payload, lang) tuple."""
+    out = [
+        warc_record(
+            "warcinfo", None, _WARC_EPOCH, b"software: paper2llm-spark-fixture"
+        )
+    ]
+    for url, ts, payload, lang in records:
+        out.append(warc_record("response", url, ts, payload, lang))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Forward pass over one archive's bytes: yields (headers, payload)
+    per record.  Header names lowercased; boundaries from
+    Content-Length only."""
+    pos, n = 0, len(data)
+    while pos < n:
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"truncated WARC header block at byte {pos}")
+        headers: dict = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:  # skip WARC/1.0
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode()
+        length = int(headers["content-length"])
+        body_start = head_end + 4
+        if body_start + length > n:
+            raise ValueError(f"truncated WARC payload at byte {body_start}")
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+_ROW_TYPES = ("response", "resource", "conversion")
+
+
+def read_warc(
+    spark: SparkSession, path: str, default_lang: str = "en"
+) -> DataFrame:
+    """Scan ``.warc`` / ``.warc.gz`` archives into pages-shaped rows.
+
+    Non-content records (warcinfo, request, metadata) are skipped;
+    ``lang`` comes from Common Crawl's language header when present.
+    """
+    files = spark.read.format("binaryFile").load(path).select("content", "path")
+
+    def parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            out: dict = {"url": [], "warc_ts": [], "html": [], "text": [],
+                         "lang": []}
+            for blob, fname in zip(b["content"], b["path"]):
+                data = bytes(blob)
+                if fname.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for headers, payload in iter_warc_records(data):
+                    if headers.get("warc-type") not in _ROW_TYPES:
+                        continue
+                    out["url"].append(headers.get("warc-target-uri", ""))
+                    out["warc_ts"].append(
+                        # WARC-Date is always Zulu; store naive UTC
+                        pd.to_datetime(headers.get("warc-date")).tz_convert(None)
+                        if headers.get("warc-date")
+                        else None
+                    )
+                    out["html"].append(payload)
+                    out["text"].append("")
+                    out["lang"].append(
+                        headers.get(_LANG_HEADER.lower(), default_lang)
+                    )
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# driver query: WARC roundtrip scan
+# ---------------------------------------------------------------------------
+
+_HTML_TEMPLATE = (
+    "<!DOCTYPE html><html><head><title>Document {doc_id}"
+    "</title></head><body><nav><li>skip</li></nav><main><h1>Document "
+    "{doc_id}</h1><p>{text}"
+    "</p><h2>References</h2><p>[1] synthetic.</p></main>"
+    "<footer>f</footer></body></html>"
+)  # byte-for-byte the __spark_entry__._synth_pages SQL template
+
+
+def _stage_warc(sf_dir: str) -> str:
+    """Fixture staging (driver-side, like ``_stage_events``): the
+    sf-dir documents rendered through the flagship HTML template into
+    4 archives — two plain, two gzipped — so the graded read path
+    covers both encodings and the warcinfo-skip."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), f"p2l_warc_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text", "lang"],
+    ).to_pydict()
+    shards: list[list] = [[], [], [], []]
+    for doc_id, source, text, lang in zip(
+        tbl["doc_id"], tbl["source"], tbl["text"], tbl["lang"]
+    ):
+        shards[doc_id % 4].append(
+            (
+                f"https://docs.test/{source}/{doc_id}",
+                _WARC_EPOCH + timedelta(minutes=doc_id),
+                _HTML_TEMPLATE.format(doc_id=doc_id, text=text).encode(),
+                lang,
+            )
+        )
+    for i, recs in enumerate(shards):
+        blob = warc_bytes(recs)
+        if i % 2:
+            with open(os.path.join(out_dir, f"part-{i}.warc.gz"), "wb") as f:
+                f.write(gzip.compress(blob))
+        else:
+            with open(os.path.join(out_dir, f"part-{i}.warc"), "wb") as f:
+                f.write(blob)
+    return out_dir
+
+
+def warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: stage WARC archives from the templated corpus,
+    scan them back, and emit per-record facts (payload md5/length,
+    sniffed kind) the DuckDB dual recomputes closed-form from
+    ``documents`` — proving the reader recovers every record's bytes,
+    url, timestamp, and language exactly."""
+    from .pages import payload_kind
+
+    pages = read_warc(spark, _stage_warc(sf_dir))
+    return pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        payload_kind(F.col("html")).alias("kind"),
+        F.md5("html").alias("payload_md5"),
+        F.length("html").cast("bigint").alias("payload_len"),
+    )
+
+
+WARC_SCAN_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         concat('https://docs.test/', source, '/', doc_id) AS url,
+         lang,
+         concat('<!DOCTYPE html><html><head><title>Document ', doc_id,
+                '</title></head><body><nav><li>skip</li></nav><main>',
+                '<h1>Document ', doc_id, '</h1><p>', text,
+                '</p><h2>References</h2><p>[1] synthetic.</p></main>',
+                '<footer>f</footer></body></html>') AS payload
+  FROM documents
+)
+SELECT url,
+       TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS warc_ts,
+       lang,
+       'html' AS kind,
+       md5(payload) AS payload_md5,
+       strlen(payload)::BIGINT AS payload_len
+FROM src
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "source_warc_scan": (warc_scan, WARC_SCAN_SQL),
+}
