@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "corpus_c4_filters",
     "text_quality_classifier",
     "source_warc_scan",
+    "sink_wet_roundtrip",
     "web_pagerank",
     "web_outlink_hostgraph",
 ]

@@ -251,6 +251,100 @@ FROM src
 """
 
 
+# ---------------------------------------------------------------------------
+# WET sink (extracted-text archives, WARC conversion records)
+# ---------------------------------------------------------------------------
+
+def write_wet(
+    df: DataFrame, out_dir: str, *, n_files: int = 8
+) -> DataFrame:
+    """Write ``(url, text)`` rows as WET archives (``conversion``
+    records, the Common Crawl extracted-text convention) — the sink
+    that closes the crawl loop: read WARC -> extract -> write WET.
+
+    Distributed shape: hash-repartition on url into ``n_files`` write
+    tasks, sort within each so file contents are deterministic, and
+    let every task stream its partition into ONE gzip archive (mtime
+    pinned to 0 — byte-stable output).  Task retries overwrite the
+    same fixed filename, so the write is idempotent.  Returns the
+    manifest (path, n_records, n_bytes) as a DataFrame — an action on
+    it performs the write.  ``out_dir`` must be storage every executor
+    can reach (local fs here; a mounted object store on a cluster —
+    the same contract as any Spark file sink).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    part = (
+        df.select("url", "text")
+        .repartition(n_files, "url")
+        .sortWithinPartitions("url")
+    )
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs, n = [], 0
+        for b in batches:
+            for url, text in zip(b["url"], b["text"]):
+                recs.append(
+                    warc_record("conversion", url, _WARC_EPOCH, text.encode())
+                )
+                n += 1
+        if not recs:
+            return  # empty partition -> no file, no manifest row
+        blob = gzip.compress(b"".join(recs), mtime=0)
+        path = os.path.join(out_dir, f"wet-{pid:05d}.warc.wet.gz")
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [len(blob)]}
+        )
+
+    return part.mapInPandas(
+        write_part, schema="path string, n_records bigint, n_bytes bigint"
+    )
+
+
+def wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: corpus -> WET archives -> read back through the
+    WARC reader -> per-record payload facts. The DuckDB dual recomputes
+    md5/length straight from ``documents``, so the gate covers the
+    whole write -> archive -> parse path bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), f"p2l_wet_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://docs.test/"), "source", F.lit("/"), "doc_id"
+        ).alias("url"),
+        "text",
+    )
+    manifest = write_wet(docs, out_dir)
+    manifest.collect()  # perform the distributed write (manifest is tiny)
+    return read_warc(spark, out_dir).select(
+        "url",
+        F.md5("html").alias("payload_md5"),
+        F.length("html").cast("bigint").alias("payload_len"),
+    )
+
+
+WET_ROUNDTRIP_SQL = """
+SELECT concat('https://docs.test/', source, '/', doc_id) AS url,
+       md5(text) AS payload_md5,
+       strlen(text)::BIGINT AS payload_len
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "source_warc_scan": (warc_scan, WARC_SCAN_SQL),
+    "sink_wet_roundtrip": (wet_roundtrip, WET_ROUNDTRIP_SQL),
 }
