@@ -30,7 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "warc"])
     ap.add_argument("--mode", default="placeholder",
                     choices=["placeholder", "descriptions"])
     ap.add_argument("--buckets", type=int, default=64)

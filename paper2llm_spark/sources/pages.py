@@ -15,9 +15,16 @@ from pyspark.sql import functions as F
 
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Scan the pages table: parquet locally; ``fmt='iceberg'`` on a
-    cluster with an Iceberg catalog (same downstream plan either way)."""
+    cluster with an Iceberg catalog (same downstream plan either way);
+    ``fmt='warc'`` parses raw crawl archives into the same shape
+    (sources/warc.py) so a crawl feeds the pipeline with no conversion
+    job."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
+    if fmt == "warc":
+        from .warc import read_warc
+
+        return read_warc(spark, path)
     return spark.read.parquet(path)
 
 
