@@ -165,9 +165,11 @@ def outlinks_frame(pages: DataFrame) -> DataFrame:
     per-page fanout before the exchange.  Output is |hosts|^2-bounded.
     """
     host = lambda c: F.regexp_extract(c, r"https://([^/]+)/", 1)  # noqa: E731
+    # same anchor grammar as html_extract._LINK_RE: case-insensitive,
+    # either quote style, href at any attribute position
     hrefs = F.expr(
         r"""regexp_extract_all(decode(html, 'UTF-8'),
-                               '<a href="([^"]+)"', 1)"""
+                               '(?i)<a\\b[^>]*?href\\s*=\\s*["\']([^"\']+)["\']', 1)"""
     )
     return (
         pages.select(host(F.col("url")).alias("src_host"),
@@ -236,7 +238,8 @@ WITH p AS (
 e AS (
   SELECT src_host,
          regexp_extract(unnest(regexp_extract_all(html,
-             '<a href="([^"]+)"', 1)), 'https://([^/]+)/', 1) AS dst_host
+             '(?i)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']+)["'']', 1)),
+             'https://([^/]+)/', 1) AS dst_host
   FROM p
 )
 SELECT src_host, dst_host, count(*)::BIGINT AS n_links

@@ -114,11 +114,18 @@ def gopher_rules_frame(docs: DataFrame) -> DataFrame:
     r_sym = s_den * n_sym <= s_num * n_words
     r_stop = n_stop >= GOPHER_MIN_REQ_STOP
 
+    # empty documents: every reported ratio divides by n_words, and a
+    # 0/0 is NULL in Spark but engine-dependent elsewhere — pin both
+    # ratios to 0.0 so the row stays well-defined (the integer
+    # cross-product rules below never divide, so they need no guard)
+    safe4 = lambda c: F.when(n_words > 0, _round4(c)).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
     return staged.select(
         "doc_id",
         n_words.alias("n_words"),
-        _round4(sum_len / n_words).alias("mean_word_len"),
-        _round4(n_alpha / n_words).alias("alpha_word_ratio"),
+        safe4(sum_len / n_words).alias("mean_word_len"),
+        safe4(n_alpha / n_words).alias("alpha_word_ratio"),
         n_stop.alias("n_req_stopwords"),
         r_words.alias("r_word_count"),
         r_len.alias("r_word_len"),
@@ -142,7 +149,8 @@ WITH t AS (
 m AS (
   SELECT doc_id,
          len(tok)::BIGINT AS n_words,
-         list_sum(list_transform(tok, x -> length(x)))::BIGINT AS sum_len,
+         coalesce(list_sum(list_transform(tok, x -> length(x))),
+                  0)::BIGINT AS sum_len,
          len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
          len(list_filter(tok, x -> starts_with(x, '#')
                                    OR contains(x, '...')))::BIGINT AS n_sym,
@@ -152,8 +160,12 @@ m AS (
 )
 SELECT doc_id,
        n_words,
-       floor(sum_len / n_words * 10000 + 0.5) / 10000 AS mean_word_len,
-       floor(n_alpha / n_words * 10000 + 0.5) / 10000 AS alpha_word_ratio,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE floor(sum_len / n_words * 10000 + 0.5) / 10000
+       END AS mean_word_len,
+       CASE WHEN n_words = 0 THEN 0.0
+            ELSE floor(n_alpha / n_words * 10000 + 0.5) / 10000
+       END AS alpha_word_ratio,
        n_stop AS n_req_stopwords,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
          AS r_word_count,
@@ -231,11 +243,14 @@ def _with_synth_lines(docs: DataFrame) -> DataFrame:
             F.lit(""),
         ).otherwise(F.lit(".")),
     )
+    # sequence(1, 0) DESCENDS to [1, 0] in Spark, so an empty document
+    # would fabricate two bogus lines while the dual's range(1, 1) is
+    # empty; start at 0 and drop it to get a guaranteed-ascending,
+    # empty-safe index array (n_sent >= 0 always).
+    idx = F.filter(F.sequence(F.lit(0), n_sent), lambda i: i >= 1)
     return staged.select(
         "doc_id",
-        F.array_join(
-            F.transform(F.sequence(F.lit(1), n_sent), line), "\n"
-        ).alias("text"),
+        F.array_join(F.transform(idx, line), "\n").alias("text"),
     )
 
 

@@ -101,3 +101,29 @@ def test_outlinks_frame_counts_host_pairs(spark):
         for r in outlinks_frame(pages).collect()
     }
     assert rows == {("s.test", "a.test"): 2, ("s.test", "b.test"): 1}
+
+
+def test_outlinks_frame_handles_real_crawl_anchor_shapes(spark):
+    """Real crawl HTML: single-quoted hrefs, attributes before href,
+    uppercase tags (ADVICE r2 — the old pattern only matched
+    '<a href=\"...\"')."""
+    from paper2llm_spark.operators.webgraph import outlinks_frame
+
+    html = (b"<html><body>"
+            b"<a class='nav' id='x' href='https://a.test/sq'>s</a>"
+            b'<A HREF="https://b.test/up">u</A>'
+            b'<a rel="nofollow" \n   href = "https://c.test/ws">w</a>'
+            b'<a name="anchor-no-href">none</a>'
+            b"</body></html>")
+    pages = spark.createDataFrame(
+        [("https://s.test/1", html)], "url string, html binary"
+    )
+    rows = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in outlinks_frame(pages).collect()
+    }
+    assert rows == {
+        ("s.test", "a.test"): 1,
+        ("s.test", "b.test"): 1,
+        ("s.test", "c.test"): 1,
+    }

@@ -72,6 +72,16 @@ def test_gopher_alpha_and_symbol_rules(spark):
     assert not out[2]["r_symbol"]
 
 
+def test_gopher_empty_doc_is_null_safe(spark):
+    # zero tokens: every ratio divides by n_words — must come back as
+    # a well-defined 0.0/false row, never NULL (ADVICE r2: the 0/0)
+    r = _gopher(spark, [_doc(1, "")])[1]
+    assert r["n_words"] == 0
+    assert r["mean_word_len"] == 0.0 and r["alpha_word_ratio"] == 0.0
+    assert r["keep"] is False
+    assert all(v is not None for v in r.asDict().values())
+
+
 def test_gopher_stopword_rule(spark):
     no_stop = " ".join(["word"] * (GOPHER_MIN_WORDS + 10))
     out = _gopher(spark, [_doc(1, no_stop)])
@@ -120,6 +130,18 @@ def test_c4_too_few_kept_lines_drops_page(spark):
 def test_c4_empty_kept_set_gives_empty_clean_text(spark):
     r = _c4(spark, [_doc(1, "no punctuation at all here")])[1]
     assert r["n_kept_lines"] == 0 and r["clean_text"] == "" and not r["keep"]
+
+
+def test_synth_lines_empty_doc_yields_no_lines(spark):
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]); an empty doc must
+    # produce empty text, not two fabricated lines (ADVICE r2)
+    from paper2llm_spark.operators.webquality import _with_synth_lines
+
+    docs = spark.createDataFrame([_doc(1, ""), _doc(2, "one two three")],
+                                 DOC_SCHEMA)
+    out = {r["doc_id"]: r["text"] for r in _with_synth_lines(docs).collect()}
+    assert out[1] == ""
+    assert out[2].rstrip(".") == "one two three"
 
 
 def test_quality_classifier_matches_pure_python_replay(spark):
