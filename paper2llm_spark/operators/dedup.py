@@ -545,12 +545,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join SIDE — two full corpus passes (measured ~2x at sf0.1); this
     shape tokenizes once and shuffles twice on short keys.
 
-    Memory note for 10^12 docs: the collect_list buffer for a shingle
-    grows to its df BEFORE the cap filter applies. Stop-shingles with
-    df ~ 10^6 mean ~8 MB arrays — acceptable for the few shingles that
-    hot; for corpora where that bound breaks, pre-filter with a
-    broadcast hot-set from a cheap partial-agg count pass (costs the
-    second corpus pass this plan avoids)."""
+    Memory note for 10^12 docs: a naive single-pass agg grows each
+    posting buffer to the shingle's RAW df before any cap can apply —
+    a stop-shingle with df ~ 10^8 is a multi-GB collect_list buffer
+    and an executor OOM. So the hot set is computed FIRST with a cheap
+    map-side-combinable count pass (8-byte partial rows, no lists
+    anywhere), broadcast (hot shingles are few by definition — the cap
+    bounds how many can exist: at most total_shingles / DF_CAP), and
+    anti-joined away BEFORE the posting aggregation, so every
+    collect_list buffer is <= DF_CAP elements by construction. The
+    price is one extra tokenize pass over the corpus; the win is that
+    peak executor memory no longer depends on the df distribution at
+    all (plan-asserted: the LeftAnti broadcast join sits below the
+    posting aggregate in tests/test_plan_quality.py)."""
     docs = _shingled(_docs(spark, sf_dir))
     sizes = docs.select(
         "doc_id", F.size(F.array_distinct("shingles")).alias("n_shingles")
@@ -558,10 +565,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
     )
-    postings = (
+    hot = (
         exploded.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    postings = (
+        pruned.groupBy("shingle")
         .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("docs"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .filter(F.col("df") >= 2)
         .select(F.array_sort("docs").alias("docs"))
     )
     pair = F.explode(

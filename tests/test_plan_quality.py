@@ -188,15 +188,27 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
     # share nothing; only the rare-shingle near-dup pair survives
     assert (900, 901) in got
     assert all(a == 900 for a, _ in got), got
-    # plan: posting lists — NO join keyed on shingle (pair generation is
-    # array transforms over df-capped lists, so no join fanout for a hot
-    # shingle to blow up); the only joins left are the broadcast size
-    # lookups on doc_a/doc_b
+    # plan: posting lists — no EQUI-join keyed on shingle (pair
+    # generation is array transforms over df-capped lists, so no join
+    # fanout for a hot shingle to blow up). The ONE shingle-keyed join
+    # allowed is the LeftAnti broadcast hot-set prune, and it must sit
+    # BELOW (after, in tree-print order) the collect_list aggregate so
+    # every posting buffer is bounded by the cap, not raw df.
     plan = _physical(out)
-    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    lines = plan.splitlines()
+    join_lines = [ln for ln in lines if "Join" in ln]
     assert join_lines, "size lookups should be joins"
-    assert all("shingle#" not in ln for ln in join_lines), join_lines
+    shingle_joins = [ln for ln in join_lines if "shingle#" in ln]
+    assert shingle_joins and all(
+        "BroadcastHashJoin" in ln and "LeftAnti" in ln for ln in shingle_joins
+    ), shingle_joins
     assert all("BroadcastHashJoin" in ln for ln in join_lines), join_lines
+    posting_agg = next(
+        i for i, ln in enumerate(lines)
+        if "partial_" in ln and "collect_list" in ln
+    )
+    anti = next(i for i, ln in enumerate(lines) if "LeftAnti" in ln)
+    assert anti > posting_agg, "hot-set prune must feed the posting agg"
     assert "CartesianProduct" not in plan
 
     con = duckdb.connect()
