@@ -223,6 +223,40 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_fanout(spark, tmp_path):
     assert {k: float(v) for k, v in got.items()} == duck
 
 
+def test_embedding_neardup_band_join_ships_ids_not_vectors(spark):
+    """Banded hyperplane LSH scale contract: the candidate join keys on
+    (band, bhash) and its exchanges carry only ids + hashes — the
+    64-double vectors must NOT ride the band-duplicated shuffle (that
+    would multiply corpus bytes by EMB_BANDS); vectors re-enter via the
+    post-distinct equi-joins on vec_id. Full planted-pair recall is the
+    semantic half: with 4 bands a pair is missed only if every band
+    splits it."""
+    from paper2llm_spark.operators.similarity import (
+        N_PLANT,
+        PLANT_OFFSET,
+        embedding_neardup,
+    )
+
+    out = embedding_neardup(spark, "/root/testdata/sf0.001")
+    rows = out.collect()  # finalize AQE before reading the plan
+    planted = {
+        (r["vec_a"], r["vec_b"])
+        for r in rows
+        if r["vec_b"] - r["vec_a"] == PLANT_OFFSET
+    }
+    assert len(planted) == min(
+        N_PLANT,
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count(),
+    )
+    plan = _physical(out)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning(band" in ln or (
+            "Exchange" in ln and "bhash" in ln
+        ):
+            assert "v#" not in ln and "va#" not in ln, ln
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """The eval-suite gram set is MBs against a TB corpus: the overlap
     join MUST be a broadcast hash join, never sort-merge or cartesian."""
