@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="parquet",
                     choices=["parquet", "iceberg", "warc"])
+    ap.add_argument("--output-format", default=None,
+                    choices=["parquet", "orc", "iceberg", "delta"],
+                    help="output/lineage/checkpoint table format; defaults "
+                         "to --format when that is a table format, else "
+                         "parquet (warc input)")
     ap.add_argument("--mode", default="placeholder",
                     choices=["placeholder", "descriptions"])
     ap.add_argument("--buckets", type=int, default=64)
@@ -53,6 +58,7 @@ def main() -> None:
         args.input,
         args.output,
         fmt=args.format,
+        output_fmt=args.output_format,
         mode=args.mode,
         n_buckets=args.buckets,
         n_groups=args.groups,
@@ -60,8 +66,12 @@ def main() -> None:
         langs=tuple(args.langs.split(",")),
     )
     stats = job.run(max_groups=args.max_groups)
-    n = spark.read.parquet(job.out_path).count()
+    n = spark.read.format(job.output_fmt).load(job.out_path).count()
     print(json.dumps({**stats, "output_rows": n, "output": job.out_path}))
+    # orderly JVM shutdown BEFORE Python teardown: the run registered a
+    # callback listener, and a JVM outliving the Python callback server
+    # spams connection-refused noise into stderr otherwise
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -19,8 +19,10 @@ job never reprocesses committed work.
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,45 +87,69 @@ def extract_documents(
     )
 
 
-def _stage_metric_rows(
-    spark: SparkSession, run_id: str, min_stage_id: int
-) -> tuple[list[tuple], int]:
-    """Per-stage wall/run times from the app status store (C2, SURVEY
-    §2.9: "SparkListener for stage timing").
+class _StageMetricsListener:
+    """Listener-bus stage metrics (C2, SURVEY §2.9: "SparkListener for
+    stage timing") through the PUBLIC listener surface: a py4j callback
+    proxy implementing ``SparkListenerInterface``, registered with
+    ``SparkContext.addSparkListener`` (DeveloperApi, stable since 0.9).
 
-    The status store is fed by the scheduler's listener bus, so these ARE
-    the SparkListener stage events — read driver-side after each commit
-    group instead of through a py4j callback-server listener (which is
-    fragile under spark-submit and adds a shutdown hazard). Returns rows
-    for COMPLETE/FAILED stages with stageId >= ``min_stage_id`` plus the
-    next watermark.
+    Replaces the round-2 ``statusStore`` read whose
+    ``stageList$default$N`` scala default-arg reflection was pinned to a
+    Spark minor version's private API (round-2 verdict #5). Events
+    arrive on the listener-bus thread; :meth:`drain` snapshots them
+    driver-side.
     """
-    store = spark.sparkContext._jsc.sc().statusStore()
-    empty = spark.sparkContext._jvm.java.util.ArrayList()
-    dflt = lambda i: getattr(store, f"stageList$default${i}")()  # noqa: E731
-    stages = store.stageList(empty, dflt(2), dflt(3), dflt(4), dflt(5))
-    rows: list[tuple] = []
-    watermark = min_stage_id
-    it = stages.iterator()
-    while it.hasNext():
-        s = it.next()
-        sid = s.stageId()
-        status = s.status().toString()
-        watermark = max(watermark, sid + 1)
-        if sid < min_stage_id or status not in ("COMPLETE", "FAILED"):
-            continue
-        sub, comp = s.submissionTime(), s.completionTime()
-        sub_ms = sub.get().getTime() if sub.isDefined() else None
-        comp_ms = comp.get().getTime() if comp.isDefined() else None
-        rows.append((
-            sid, s.attemptId(), status, s.name(), s.numTasks(),
-            int(s.executorRunTime()),
+
+    def __init__(self):
+        self._rows: list[tuple] = []
+        self._lock = threading.Lock()
+
+    def onStageCompleted(self, event):  # noqa: N802 (JVM interface name)
+        info = event.stageInfo()
+        sub, comp = info.submissionTime(), info.completionTime()
+        sub_ms = int(sub.get()) if sub.isDefined() else None
+        comp_ms = int(comp.get()) if comp.isDefined() else None
+        status = "FAILED" if info.failureReason().isDefined() else "COMPLETE"
+        try:
+            run_ms = int(info.taskMetrics().executorRunTime())
+        except Exception:
+            run_ms = None
+        row = (
+            int(info.stageId()), int(info.attemptNumber()), status,
+            str(info.name()), int(info.numTasks()), run_ms,
             sub_ms, comp_ms,
-            (comp_ms - sub_ms) if sub_ms is not None and comp_ms is not None
-            else None,
-            run_id,
-        ))
-    return rows, watermark
+            (comp_ms - sub_ms)
+            if sub_ms is not None and comp_ms is not None else None,
+        )
+        with self._lock:
+            self._rows.append(row)
+
+    def drain(self) -> list[tuple]:
+        with self._lock:
+            rows, self._rows = self._rows, []
+        return rows
+
+    def __getattr__(self, name):
+        # every other SparkListenerInterface event (onJobStart,
+        # onTaskEnd, ...) is a no-op; py4j resolves callback methods by
+        # name at call time so one catch-all covers the whole interface
+        return lambda *args, **kwargs: None
+
+    class Java:
+        implements = ["org.apache.spark.scheduler.SparkListenerInterface"]
+
+
+def _ensure_callback_server(spark: SparkSession) -> None:
+    """Start the py4j callback server (required for the JVM listener bus
+    to call back into Python) exactly the way pyspark itself does for
+    ``foreachBatch``/streaming listeners — ephemeral port, daemonized
+    threads, JVM callback client re-pointed. Reusing pyspark's helper
+    keeps the lifecycle identical to the built-in callback users (the
+    server stays up for the session; its threads are daemonic so
+    interpreter exit is never blocked)."""
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    ensure_callback_server_started(spark.sparkContext._gateway)
 
 
 STAGE_METRICS_SCHEMA = (
@@ -149,6 +175,24 @@ def _lineage_rows(result: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+# Output formats the writer seam dispatches on. north_star: "writes
+# per-url Markdown ... to the output table (Iceberg)" — iceberg/delta
+# need their runtime jars + catalog on the cluster; when absent the
+# writer degrades LOUDLY to parquet (warning, not silence), so local
+# runs and the jar-less CI keep working while the cluster config is a
+# flag, not a code change.
+SUPPORTED_OUTPUT_FMTS = ("parquet", "orc", "iceberg", "delta")
+
+
+def _missing_data_source(exc: Exception) -> bool:
+    msg = str(exc)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find data source" in msg
+        or "ClassNotFoundException" in msg
+    )
+
+
 class CheckpointedExtractJob:
     """Bucket-committed runner: resumable, lineage-emitting."""
 
@@ -159,6 +203,7 @@ class CheckpointedExtractJob:
         output_dir: str,
         *,
         fmt: str = "parquet",
+        output_fmt: str | None = None,
         mode: str = "placeholder",
         n_buckets: int = 64,
         n_groups: int = 8,
@@ -169,6 +214,11 @@ class CheckpointedExtractJob:
         self.input_path = input_path
         self.output_dir = output_dir
         self.fmt = fmt
+        if output_fmt is None:
+            # --format iceberg means BOTH sides unless overridden; warc
+            # input has no write path, so its outputs default to parquet
+            output_fmt = fmt if fmt in SUPPORTED_OUTPUT_FMTS else "parquet"
+        self.output_fmt = output_fmt
         self.mode = mode
         self.n_buckets = n_buckets
         self.n_groups = n_groups
@@ -191,10 +241,32 @@ class CheckpointedExtractJob:
         commit left off (the kill-and-resume contract, tested)."""
         self.spark.sparkContext.cancelJobGroup(self.job_group)
 
+    # -- output format seam ---------------------------------------------------
+    def _write(self, df: DataFrame, path: str) -> None:
+        """Append via the configured output format (the north_star's
+        Iceberg table is this one flag on a cluster with the jars); if
+        the source is missing locally, warn once and degrade the whole
+        job to parquet so every table of one run shares a format."""
+        try:
+            df.write.format(self.output_fmt).mode("append").save(path)
+        except Exception as exc:
+            if self.output_fmt == "parquet" or not _missing_data_source(exc):
+                raise
+            warnings.warn(
+                f"output format {self.output_fmt!r} unavailable "
+                f"({exc.__class__.__name__}); falling back to parquet",
+                stacklevel=2,
+            )
+            self.output_fmt = "parquet"
+            df.write.format("parquet").mode("append").save(path)
+
+    def _read_table(self, path: str) -> DataFrame:
+        return self.spark.read.format(self.output_fmt).load(path)
+
     # -- checkpoint table ---------------------------------------------------
     def completed_buckets(self) -> set[int]:
         try:
-            rows = self.spark.read.parquet(self.checkpoint_path).collect()
+            rows = self._read_table(self.checkpoint_path).collect()
         except Exception:
             return set()
         return {r["bucket"] for r in rows if r["status"] == "done"}
@@ -204,7 +276,36 @@ class CheckpointedExtractJob:
         df = self.spark.createDataFrame(rows, CHECKPOINT).withColumn(
             "ts", F.current_timestamp()
         )
-        df.write.mode("append").parquet(self.checkpoint_path)
+        self._write(df, self.checkpoint_path)
+
+    # -- stage metrics ---------------------------------------------------------
+    def _write_stage_metrics(self, rows: list[tuple], run_id: str) -> None:
+        if not rows:
+            return
+        self._write(
+            self.spark.createDataFrame(
+                [r + (run_id,) for r in rows], STAGE_METRICS_SCHEMA
+            ).withColumn("ts", F.current_timestamp()),
+            self.stage_metrics_path,
+        )
+
+    def _flush_stage_metrics(
+        self, listener: _StageMetricsListener, run_id: str,
+        quiet_ms: int = 200, timeout_s: float = 5.0,
+    ) -> None:
+        """Final drain: the listener bus delivers asynchronously, so wait
+        for a short quiet window (no new completions for ``quiet_ms``)
+        before the last write — bounded, never a hang."""
+        deadline = time.monotonic() + timeout_s
+        rows: list[tuple] = []
+        time.sleep(quiet_ms / 1000.0)  # let in-flight completions land
+        while True:
+            got = listener.drain()
+            rows.extend(got)
+            if not got or time.monotonic() >= deadline:
+                break
+            time.sleep(quiet_ms / 1000.0)
+        self._write_stage_metrics(rows, run_id)
 
     # -- run ------------------------------------------------------------------
     def run(self, max_groups: int | None = None) -> dict:
@@ -256,9 +357,12 @@ class CheckpointedExtractJob:
         processed = 0
         cancelled = False
         sc = self.spark.sparkContext
-        # watermark = current max stage id + 1: stages submitted before
-        # this run (other jobs on the session) are excluded
-        _, stage_watermark = _stage_metric_rows(self.spark, run_id, 0)
+        # stage timing (C2): a listener registered for exactly this
+        # run's lifetime — stages of other jobs on the session before or
+        # after registration never enter it
+        _ensure_callback_server(self.spark)
+        listener = _StageMetricsListener()
+        sc._jsc.sc().addSparkListener(listener)
         sc.setJobGroup(self.job_group, f"p2l extract run {run_id}",
                        interruptOnCancel=True)
         try:
@@ -274,27 +378,16 @@ class CheckpointedExtractJob:
                 )
                 result = result.cache()
                 try:
-                    result.select(*OUTPUT_COLUMNS).write.mode("append").parquet(
-                        self.out_path
-                    )
-                    _lineage_rows(result, run_id).write.mode("append").parquet(
-                        self.lineage_path
-                    )
+                    self._write(result.select(*OUTPUT_COLUMNS), self.out_path)
+                    self._write(_lineage_rows(result, run_id), self.lineage_path)
                 finally:
                     result.unpersist()
                 self._mark_done(group, run_id)
                 processed += 1
-                # stage timing (C2): append the listener-bus stage rows
-                # this group produced to the metrics table
-                rows, stage_watermark = _stage_metric_rows(
-                    self.spark, run_id, stage_watermark
-                )
-                if rows:
-                    self.spark.createDataFrame(
-                        rows, STAGE_METRICS_SCHEMA
-                    ).withColumn("ts", F.current_timestamp()).write.mode(
-                        "append"
-                    ).parquet(self.stage_metrics_path)
+                # append the listener's completed-stage rows so far; the
+                # bus is async, so any events still in flight land in the
+                # final drain below
+                self._write_stage_metrics(listener.drain(), run_id)
         except Exception as exc:  # cooperative cancel surfaces here
             if "cancel" not in str(exc).lower():
                 raise
@@ -302,6 +395,8 @@ class CheckpointedExtractJob:
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
             sc.setLocalProperty("spark.job.interruptOnCancel", None)
+            self._flush_stage_metrics(listener, run_id)
+            sc._jsc.sc().removeSparkListener(listener)
 
         return {
             "run_id": run_id,

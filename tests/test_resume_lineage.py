@@ -88,6 +88,62 @@ def test_stage_metrics_rows_written(spark, fixture_pages_path, tmp_path):
     assert len(ids) == len(set(ids))
 
 
+def test_output_format_seam_dispatches_on_fmt(spark, fixture_pages_path, tmp_path):
+    """north_star: "writes per-url Markdown ... to the output table
+    (Iceberg)" — the writer must dispatch on the configured format, not
+    hard-code parquet. ORC ships inside Spark, so it proves the seam
+    end-to-end without Iceberg jars: all four tables (output, lineage,
+    checkpoint, stage metrics) land as ORC, read back through the same
+    seam, and resume sees the ORC checkpoint."""
+    import glob
+
+    out_dir = str(tmp_path / "job_orc")
+    job = CheckpointedExtractJob(
+        spark, fixture_pages_path, out_dir, output_fmt="orc",
+        n_buckets=4, n_groups=2,
+    )
+    job.run()
+    assert job.output_fmt == "orc"
+    for path in (job.out_path, job.lineage_path, job.checkpoint_path,
+                 job.stage_metrics_path):
+        files = glob.glob(f"{path}/*")
+        assert any(f.endswith(".orc") for f in files), path
+        assert not any(f.endswith(".parquet") for f in files), path
+    n = spark.read.orc(job.out_path).count()
+    assert n > 0
+    # resume reads the ORC checkpoint: nothing left to do
+    r2 = CheckpointedExtractJob(
+        spark, fixture_pages_path, out_dir, output_fmt="orc",
+        n_buckets=4, n_groups=2,
+    ).run()
+    assert r2["groups_processed"] == 0
+    assert spark.read.orc(job.out_path).count() == n
+
+
+def test_output_format_falls_back_loudly_when_source_missing(
+    spark, fixture_pages_path, tmp_path
+):
+    """--format iceberg on a jar-less environment must degrade to
+    parquet with a warning — the job completes instead of dying, and
+    the honest seam (format tried first) is what a cluster with the
+    Iceberg runtime flips."""
+    import warnings as _warnings
+
+    out_dir = str(tmp_path / "job_iceberg")
+    job = CheckpointedExtractJob(
+        spark, fixture_pages_path, out_dir, fmt="parquet",
+        output_fmt="iceberg", n_buckets=4, n_groups=2,
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        job.run()
+    if job.output_fmt == "parquet":  # no Iceberg runtime in container
+        assert any("iceberg" in str(w.message) for w in caught)
+        assert spark.read.parquet(job.out_path).count() > 0
+    else:  # a cluster with the jars: the table really is Iceberg
+        assert spark.read.format("iceberg").load(job.out_path).count() > 0
+
+
 def test_cooperative_cancel_then_resume(spark, fixture_pages_path, tmp_path):
     """C3: cancel(run) from another thread interrupts the current commit
     group; committed groups stay committed, and a resume completes the
