@@ -343,7 +343,11 @@ def _stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(in_dir)
     incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
 
-    return spark.read.parquet(os.path.join(out_dir, "dedup"))
+    # the sink carries the MERGE-state clustering column (state_bucket);
+    # project it away so the result schema matches the batch oracle
+    return spark.read.parquet(os.path.join(out_dir, "dedup")).select(
+        "content_md5", "keep_doc_id"
+    )
 
 
 _STREAM_DEDUP_SQL = """

@@ -97,3 +97,48 @@ def test_incremental_exact_dedup_first_seen_only(spark, tmp_path):
     # no new files -> drained checkpoint emits nothing
     incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
     assert spark.read.parquet(f"{out_dir}/dedup").count() == 3
+
+    # MERGE-shaped state: the sink is laid out as a key-addressed table
+    # (hive partitions on the digest hash bucket)
+    assert any(
+        d.startswith("state_bucket=") for d in os.listdir(f"{out_dir}/dedup")
+    )
+
+
+def test_stream_dedup_state_read_is_partition_pruned(spark, tmp_path):
+    """Round-2 verdict #6: the per-batch state lookup must NOT re-read
+    the whole accumulated sink. The anti-join side reads only the
+    state_bucket partitions the micro-batch touches — asserted on the
+    scan's PartitionFilters and its partition count."""
+    from pyspark.sql import functions as F
+
+    from paper2llm_spark.streaming.dedup import (
+        N_STATE_BUCKETS,
+        incremental_exact_dedup,
+        seen_digests,
+    )
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    rows = [(i, f"doc body {i}", "en", "s", 10) for i in range(200)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    incremental_exact_dedup(spark, in_dir, out_dir).awaitTermination()
+
+    sink = spark.read.parquet(f"{out_dir}/dedup")
+    n_parts_total = sink.select("state_bucket").distinct().count()
+    assert n_parts_total > 8  # 200 digests spread over most of 64 buckets
+
+    probe = [3, 17]
+    df = seen_digests(spark, f"{out_dir}/dedup", probe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "state_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+    # the pruned scan reads exactly the probed partitions' digests
+    expected = (
+        sink.filter(F.col("state_bucket").isin(probe)).count()
+    )
+    assert df.count() == expected < sink.count()
+    assert 0 < len(probe) <= N_STATE_BUCKETS
