@@ -17,7 +17,12 @@ Parsing is a single forward pass over the bytes inside an Arrow
 ``mapInPandas`` — no per-row Python UDF, no regex over payloads, and
 record boundaries come from Content-Length arithmetic, never from
 scanning payload bytes for markers (payloads may legally contain
-``WARC/1.0``).  Memory per task is bounded by one archive.
+``WARC/1.0``).  Memory per task is bounded by one archive's raw +
+decompressed bytes (binaryFile hard-caps a file at 2 GB — crawls
+rotate archives at ~1 GB for exactly this class of reader); the
+OUTPUT side never adds an archive-sized third copy because rows flush
+to Arrow in bounded pandas chunks (``WARC_FLUSH_BYTES``/``_ROWS``).
+Gzip is detected by the 0x1f8b magic bytes, not the filename.
 
 The writer exists for fixtures and tests (the reference engine never
 writes WARC); it emits spec-compliant ``response`` records plus the
@@ -114,6 +119,11 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
 
 _ROW_TYPES = ("response", "resource", "conversion")
 
+# Per-task output buffering: flush a pandas frame to Arrow once it holds
+# this many payload bytes or rows, whichever first.
+WARC_FLUSH_BYTES = 64 * 1024 * 1024
+WARC_FLUSH_ROWS = 4096
+
 
 def read_warc(
     spark: SparkSession, path: str, default_lang: str = "en"
@@ -128,29 +138,57 @@ def read_warc(
     def parse(batches):
         import pandas as pd
 
+        def flush(out):
+            df = pd.DataFrame(out)
+            for col in out:
+                out[col] = []
+            return df
+
         for b in batches:
             out: dict = {"url": [], "warc_ts": [], "html": [], "text": [],
                          "lang": []}
+            out_bytes = 0
             for blob, fname in zip(b["content"], b["path"]):
                 data = bytes(blob)
-                if fname.endswith(".gz"):
+                # detect gzip by the 0x1f8b magic, not the filename — a
+                # misnamed archive (gzip without .gz, or .gz holding raw
+                # WARC) parses instead of poisoning the whole partition
+                if data[:2] == b"\x1f\x8b":
                     data = gzip.decompress(data)
-                for headers, payload in iter_warc_records(data):
-                    if headers.get("warc-type") not in _ROW_TYPES:
-                        continue
-                    out["url"].append(headers.get("warc-target-uri", ""))
-                    out["warc_ts"].append(
-                        # WARC-Date is always Zulu; store naive UTC
-                        pd.to_datetime(headers.get("warc-date")).tz_convert(None)
-                        if headers.get("warc-date")
-                        else None
-                    )
-                    out["html"].append(payload)
-                    out["text"].append("")
-                    out["lang"].append(
-                        headers.get(_LANG_HEADER.lower(), default_lang)
-                    )
-            yield pd.DataFrame(out)
+                try:
+                    for headers, payload in iter_warc_records(data):
+                        if headers.get("warc-type") not in _ROW_TYPES:
+                            continue
+                        out["url"].append(headers.get("warc-target-uri", ""))
+                        out["warc_ts"].append(
+                            # WARC-Date is always Zulu; store naive UTC
+                            pd.to_datetime(
+                                headers.get("warc-date")
+                            ).tz_convert(None)
+                            if headers.get("warc-date")
+                            else None
+                        )
+                        out["html"].append(payload)
+                        out["text"].append("")
+                        out["lang"].append(
+                            headers.get(_LANG_HEADER.lower(), default_lang)
+                        )
+                        out_bytes += len(payload)
+                        # bounded pandas copies: a ~1 GB archive yields
+                        # as a sequence of <=64 MB frames instead of one
+                        # archive-sized third copy alongside the raw and
+                        # decompressed bytes (binaryFile itself caps an
+                        # archive at 2 GB — rotate crawl files below
+                        # that, as Common Crawl's ~1 GB segments are)
+                        if out_bytes >= WARC_FLUSH_BYTES or len(
+                            out["url"]
+                        ) >= WARC_FLUSH_ROWS:
+                            yield flush(out)
+                            out_bytes = 0
+                except ValueError as exc:
+                    raise ValueError(f"{fname}: {exc}") from exc
+            if out["url"]:
+                yield flush(out)
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)
 

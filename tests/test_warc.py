@@ -73,6 +73,45 @@ def test_read_warc_plain_and_gzip(spark, tmp_path):
     assert rows["https://a.test/1"]["text"] == ""
 
 
+def test_read_warc_sniffs_gzip_magic_not_suffix(spark, tmp_path):
+    """ADVICE r2: a gzip archive without .gz (and a .gz holding raw
+    WARC) must parse by magic-byte detection instead of failing the
+    partition."""
+    recs1 = [("https://m.test/gzip-no-suffix", TS, b"<html>a</html>", "en")]
+    recs2 = [("https://m.test/suffix-not-gzip", TS, b"<html>b</html>", "en")]
+    (tmp_path / "misnamed.warc").write_bytes(gzip.compress(warc_bytes(recs1)))
+    (tmp_path / "raw.warc.gz").write_bytes(warc_bytes(recs2))
+    rows = {r["url"] for r in read_warc(spark, str(tmp_path)).collect()}
+    assert rows == {
+        "https://m.test/gzip-no-suffix",
+        "https://m.test/suffix-not-gzip",
+    }
+
+
+def test_read_warc_flushes_bounded_chunks(spark, tmp_path, monkeypatch):
+    """The mapInPandas output is a sequence of bounded frames, never one
+    archive-sized copy: with a 3-row flush threshold, 10 records still
+    arrive complete and correct."""
+    from paper2llm_spark.sources import warc as warc_mod
+
+    monkeypatch.setattr(warc_mod, "WARC_FLUSH_ROWS", 3)
+    recs = [
+        (f"https://c.test/{i}", TS, f"<html>{i}</html>".encode(), "en")
+        for i in range(10)
+    ]
+    (tmp_path / "c.warc").write_bytes(warc_bytes(recs))
+    rows = {r["url"]: bytes(r["html"])
+            for r in warc_mod.read_warc(spark, str(tmp_path)).collect()}
+    assert len(rows) == 10
+    assert rows["https://c.test/7"] == b"<html>7</html>"
+
+
+def test_read_warc_parse_error_names_the_file(spark, tmp_path):
+    (tmp_path / "bad.warc").write_bytes(b"WARC/1.0\r\nWARC-Type: response")
+    with pytest.raises(Exception, match="bad.warc"):
+        read_warc(spark, str(tmp_path)).collect()
+
+
 def test_warc_input_feeds_pipeline_byte_identical(spark):
     """The switch-over story: the same corpus through WARC archives and
     through the parquet pages table must extract byte-identically."""
