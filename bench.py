@@ -291,6 +291,32 @@ def run_extraction(
     return wall, n
 
 
+# Streaming queries are benched separately: each invocation stages its
+# own fresh inputs and drains its own checkpoint (re-running a drained
+# checkpoint would time a no-op), so the honest number is one full
+# cold invocation per query — staging included, exactly what the
+# driver's correctness harness pays.
+STREAM_BENCH_QUERIES = [
+    "stream_extract_incremental",
+    "stream_dedup_exact",
+    "stream_windowed_counts",
+    "stream_sessionize_stateful",
+]
+
+
+def run_stream_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    registry = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in STREAM_BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
@@ -608,6 +634,23 @@ def main() -> None:
     skew_wall, pin_wall = walls["chunked"], walls["unchunked"]
     qtimes["extract_pipeline_skew"] = round(skew_wall, 3)
     qtimes["extract_pipeline_skew_unchunked"] = round(pin_wall, 3)
+
+    # descriptions-branch skew (VERDICT r02 #8): the second Arrow hop is
+    # where giant docs hurt most — track it on the same skew corpus
+    desc_skew_df = extract_documents(
+        skew_pages_df, giant_bytes=500_000, chunk_pages=150,
+        mode="descriptions",
+    )
+    desc_skew_df.write.format("noop").mode("overwrite").save()  # warm
+    desc_skew_wall = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        desc_skew_df.write.format("noop").mode("overwrite").save()
+        desc_skew_wall = min(desc_skew_wall, time.monotonic() - t0)
+    qtimes["extract_pipeline_skew_desc"] = round(desc_skew_wall, 3)
+
+    # streaming query costs (VERDICT r02 #7): cold one-shot invocations
+    qtimes.update(run_stream_queries(spark, SF_DIR))
     result_skew = {
         "docs": n_skew,
         "docs_per_sec": round(n_skew / skew_wall, 2),
@@ -831,17 +874,27 @@ def main() -> None:
         # (persisted separately so --scaling state is untouched)
         hpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH", "headline.json")
+        best_stamp = None
         try:
             with open(hpath) as f:
-                best_known = max(best_known or 0,
-                                 json.load(f).get("headline_best", 0))
+                saved = json.load(f)
+                if saved.get("headline_best", 0) > (best_known or 0):
+                    best_known = saved["headline_best"]
+                best_stamp = saved.get("measured")
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             pass
+        if result["value"] >= (best_known or 0):
+            # this run IS the new best: stamp it so a stale ratchet can
+            # never masquerade as current capability (ADVICE r2)
+            best_stamp = {"commit": _git_head(), "date": _utc_today()}
         result["value_best"] = max(result["value"], best_known or 0)
+        if best_stamp:
+            result["value_best_measured"] = best_stamp
         try:
             os.makedirs(os.path.dirname(hpath), exist_ok=True)
             with open(hpath, "w") as f:
-                json.dump({"headline_best": result["value_best"]}, f)
+                json.dump({"headline_best": result["value_best"],
+                           "measured": best_stamp}, f)
         except OSError:
             pass
         # keep the human-readable numbers in sync with the latest run
@@ -849,6 +902,32 @@ def main() -> None:
         _write_bench_md(result)
 
     print(json.dumps(result))
+
+
+def _stamp_note(result: dict) -> str:
+    m = result.get("value_best_measured")
+    if not m:
+        return ""
+    return f" (measured at {m.get('commit', '?')}, {m.get('date', '?')})"
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _utc_today() -> str:
+    from datetime import datetime, timezone
+
+    return datetime.now(timezone.utc).strftime("%Y-%m-%d")
 
 
 def _write_bench_md(result: dict) -> None:
@@ -867,7 +946,7 @@ def _write_bench_md(result: dict) -> None:
         f"- extraction throughput at local[{result['cpus']}]: "
         f"**{result['value']} docs/sec** ({result['docs']} docs, "
         f"{result['queries']['extract_pipeline']} s); best recorded "
-        f"quiet-window reading: {best} docs/sec",
+        f"quiet-window reading: {best} docs/sec{_stamp_note(result)}",
         f"- byte-identical match-rate on the fixture corpus: **100%** "
         "(tests/test_spark_extract.py, both branches)",
         f"- descriptions branch (extra Arrow hop): "
