@@ -364,6 +364,8 @@ FROM documents GROUP BY md5(text)
 # still pytest-gated (tests/test_driver_contract.py runs the full set);
 # this list only decides who gets the *driver's* hash-green row.
 _PRIORITY = [
+    "dedup_bloom_prefilter",
+    "corpus_url_blocklist",
     "extract_html_pipeline",
     "extract_html_pipeline_desc",
     "stream_extract_incremental",
@@ -391,8 +393,8 @@ _PRIORITY = [
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webcorpus, webgraph, webquality, webselect,
-        webstats,
+        sink, textstats, webcorpus, webfilter, webgraph, webquality,
+        webselect, webstats,
     )
 
     from paper2llm_spark.sources import warc
@@ -400,7 +402,7 @@ def _registry() -> dict[str, tuple]:
     merged: dict[str, tuple] = {}
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
-                   sink, webquality, webgraph, warc):
+                   sink, webquality, webgraph, warc, webfilter):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

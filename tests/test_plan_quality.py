@@ -512,6 +512,32 @@ def test_quality_classifier_scan_side_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bloom_prefilter_broadcasts_bit_set(spark):
+    """The Bloom bit set is a few KB regardless of how many keys were
+    ingested — it must BROADCAST to the probe join (never sort-merge),
+    and both aggregations keep their map-side partial phase so nothing
+    corpus-sized shuffles."""
+    from paper2llm_spark.operators.webfilter import bloom_prefilter
+
+    df = bloom_prefilter(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # probe-hit agg keeps map-side combine
+
+
+def test_url_blocklist_is_broadcast_dim_join(spark):
+    from paper2llm_spark.operators.webfilter import url_blocklist
+
+    df = url_blocklist(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_pagerank_iterations_are_equi_joins_on_short_keys(spark):
     """PageRank rounds: every join is an equi-join (rank-to-edge and
     rank-refresh), never cartesian; the edge list is checkpointed so
