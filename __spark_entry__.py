@@ -366,6 +366,8 @@ FROM documents GROUP BY md5(text)
 _PRIORITY = [
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
+    "text_normalize_nfc",
+    "corpus_paragraph_dedup",
     "extract_html_pipeline",
     "extract_html_pipeline_desc",
     "stream_extract_incremental",
@@ -393,8 +395,8 @@ _PRIORITY = [
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webcorpus, webfilter, webgraph, webquality,
-        webselect, webstats,
+        sink, textstats, webcorpus, webfilter, webgraph, webnormalize,
+        webquality, webselect, webstats,
     )
 
     from paper2llm_spark.sources import warc
@@ -402,7 +404,8 @@ def _registry() -> dict[str, tuple]:
     merged: dict[str, tuple] = {}
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
-                   sink, webquality, webgraph, warc, webfilter):
+                   sink, webquality, webgraph, warc, webfilter,
+                   webnormalize):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -43,6 +43,8 @@ TEXT_X = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_X", "5"))
 BENCH_QUERIES = [
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
+    "text_normalize_nfc",
+    "corpus_paragraph_dedup",
     "rel_q1_pricing_summary",
     "rel_q3_top_orders",
     "rel_customer_spend_rank",

@@ -512,6 +512,33 @@ def test_quality_classifier_scan_side_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_normalize_is_arrow_not_row_python(spark):
+    """Unicode NFC has no Spark builtin, so this op is allowed a Python
+    stage — but it must be the Arrow-vectorized kind (ArrowEvalPython),
+    never row-at-a-time BatchEvalPython, and shuffle-free."""
+    from paper2llm_spark.operators.webnormalize import text_normalize
+
+    plan = _physical(text_normalize(spark, "/root/testdata/sf0.001"))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_paragraph_dedup_keeper_join_on_short_keys(spark):
+    """The keeper table is (hash, struct) SHORT rows from a partial-agg
+    groupBy; no join may key on the line text itself."""
+    from paper2llm_spark.operators.webnormalize import paragraph_dedup
+
+    df = paragraph_dedup(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _physical(df)
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines
+    assert all("line#" not in ln for ln in join_lines), join_lines
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_prefilter_broadcasts_bit_set(spark):
     """The Bloom bit set is a few KB regardless of how many keys were
     ingested — it must BROADCAST to the probe join (never sort-merge),
