@@ -364,6 +364,7 @@ FROM documents GROUP BY md5(text)
 # still pytest-gated (tests/test_driver_contract.py runs the full set);
 # this list only decides who gets the *driver's* hash-green row.
 _PRIORITY = [
+    "corpus_quality_funnel",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -395,8 +396,8 @@ _PRIORITY = [
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webcorpus, webfilter, webgraph, webnormalize,
-        webquality, webselect, webstats,
+        sink, textstats, webcorpus, webfilter, webfunnel, webgraph,
+        webnormalize, webquality, webselect, webstats,
     )
 
     from paper2llm_spark.sources import warc
@@ -405,7 +406,7 @@ def _registry() -> dict[str, tuple]:
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
-                   webnormalize):
+                   webnormalize, webfunnel):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

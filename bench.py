@@ -41,6 +41,7 @@ SCALE_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "160"))
 TEXT_X = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_X", "5"))
 
 BENCH_QUERIES = [
+    "corpus_quality_funnel",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

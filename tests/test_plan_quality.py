@@ -590,3 +590,25 @@ def test_outlink_hostgraph_single_partial_agg_no_joins(spark):
     assert plan.count("hashpartitioning") == 1, plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_funnel_two_window_exchanges_no_joins(spark):
+    """The composed funnel fuses all five stage signals into one
+    scan-side projection; the ONLY exchanges are the two windows
+    (md5-canonical, source-rank) plus the round-robin spread of the
+    single local file.  Composing by joining the standalone stage
+    outputs would shuffle the corpus four times — this asserts we
+    never regress to that."""
+    from paper2llm_spark.operators.webfunnel import quality_funnel
+
+    import re
+
+    plan = _physical(quality_funnel(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # key-set, not line-count: a cached copy of the same lineage (the
+    # test fixture) can embed its InMemoryRelation plan and double the
+    # raw line count without changing the shuffle structure
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"content_md5", "source"}, keys
