@@ -365,6 +365,8 @@ FROM documents GROUP BY md5(text)
 # this list only decides who gets the *driver's* hash-green row.
 _PRIORITY = [
     "corpus_quality_funnel",
+    "web_meta_extract",
+    "corpus_snapshot_delta",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -397,7 +399,8 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webcorpus, webfilter, webfunnel, webgraph,
-        webnormalize, webquality, webselect, webstats,
+        webmeta, webnormalize, webquality, webselect, websnapshot,
+        webstats,
     )
 
     from paper2llm_spark.sources import warc
@@ -406,7 +409,7 @@ def _registry() -> dict[str, tuple]:
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
-                   webnormalize, webfunnel):
+                   webnormalize, webfunnel, webmeta, websnapshot):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

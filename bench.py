@@ -42,6 +42,8 @@ TEXT_X = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_X", "5"))
 
 BENCH_QUERIES = [
     "corpus_quality_funnel",
+    "web_meta_extract",
+    "corpus_snapshot_delta",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

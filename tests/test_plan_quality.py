@@ -612,3 +612,34 @@ def test_quality_funnel_two_window_exchanges_no_joins(spark):
     # raw line count without changing the shuffle structure
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert keys == {"content_md5", "source"}, keys
+
+
+def test_meta_extract_is_scan_side_only(spark):
+    """Every metadata field is a codegen regexp over the decoded
+    payload: no joins, no Python, no hash exchange (the only exchange
+    is the round-robin spread of the single local file)."""
+    from paper2llm_spark.operators.webmeta import meta_extract
+
+    plan = _physical(meta_extract(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_snapshot_delta_union_groupby_not_outer_join(spark):
+    """The delta must stay the union→groupBy shape: ONE map-side
+    combinable exchange of (url, side, digest) short rows — never the
+    full-outer join that would sort-shuffle both snapshots.  The digest
+    travels as bigint chunks specifically so the agg keeps its
+    HashAggregate form; max(string) degrades the whole aggregation to
+    SortAggregate (a per-task sort of every row)."""
+    from paper2llm_spark.operators.websnapshot import snapshot_delta
+
+    # sf0.01, not sf0.001: the semantic test caches the sf0.001 lineage
+    # and a cache hit would splice an InMemoryRelation into this plan
+    plan = _physical(snapshot_delta(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortAggregate" not in plan, "string-agg regression"
