@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "corpus_quality_funnel",
     "web_meta_extract",
     "corpus_snapshot_delta",
+    "corpus_ccnet_buckets",
+    "dedup_semantic",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

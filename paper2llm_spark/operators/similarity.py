@@ -735,6 +735,108 @@ FROM ranked WHERE rank <= {TOPK}
 PQ_TOPK_SQL = _pq_sql()
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COS = NEARDUP_COS  # ε-ball threshold (planted dups ~0.999)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with a coarse quantizer, compute pairwise cosine
+    ONLY within each cluster, and drop every vector that has a
+    lower-id neighbor above the similarity threshold — one survivor
+    per ε-ball, exactly the published greedy keep rule (deterministic:
+    min-id wins, never float-order dependent).
+
+    Scale shape: the published algorithm's cost IS the within-cluster
+    pairwise pass (Σ|c|² over clusters) — the cell equi-join co-locates
+    each cluster's vectors in one task and never goes all-pairs across
+    clusters; at 10^9 vectors the quantizer grows to k≈√n cells (the
+    trained ``ann_kmeans_cells`` centroids drop in for the md5-seeded
+    ones). The final keep-flag join is an int-keyed equi-join against
+    the duplicate list, which is ≪ corpus and broadcast-eligible in
+    practice (AQE decides).
+
+    Cross-cluster recall caveat (inherent to SemDeDup, documented in
+    the paper): a near-dup pair split by a cluster boundary is missed.
+    The planted copies (+0.05 on one coordinate, the
+    ``dedup_embedding_cosine`` fixture) mostly land in their original's
+    cell; both engines apply the identical argmax so the gate stays
+    exact either way.
+    """
+    raw = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = raw.filter(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.slice("v", 2, DIM - 1),
+        ).alias("v"),
+    )
+    emb = raw.unionByName(planted)
+    cells = emb.select(
+        "vec_id", "v", _norm(F.col("v")).alias("nv"),
+        _cell_expr(F.col("v")).alias("cell"),
+    )
+    a = cells.select(
+        F.col("cell"), F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    b = cells.select(
+        F.col("cell"), F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn(
+            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= SEMDEDUP_COS)
+        .groupBy(F.col("idb").alias("vec_id"))
+        .agg(F.min("ida").alias("dup_of"))
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM raw
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_concat([v[1] + 0.05], v[2:{DIM}]) AS v
+  FROM raw WHERE vec_id < {N_PLANT}
+),
+cells AS (SELECT vec_id, v, {_cell_sql("v")} AS cell FROM e),
+dup AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_COS}
+  GROUP BY b.vec_id
+)
+SELECT c.vec_id, c.cell,
+       (d.vec_id IS NULL) AS keep,
+       coalesce(d.dup_of, -1)::BIGINT AS dup_of
+FROM cells c LEFT JOIN dup d USING (vec_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "ann_kmeans_cells": (kmeans_cells, KMEANS_CELLS_SQL),
@@ -742,4 +844,5 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "ann_pq_topk": (pq_topk, PQ_TOPK_SQL),
     "dedup_embedding_cosine": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "dedup_semantic": (semantic_dedup, SEMANTIC_DEDUP_SQL),
 }

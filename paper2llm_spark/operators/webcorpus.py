@@ -264,19 +264,23 @@ FROM r WHERE rk <= {DOMAIN_CAP_K}
 # unigram LM quality proxy (KenLM-filter shape with an exact dual)
 # ---------------------------------------------------------------------------
 
-def unigram_logprob_frame(docs: DataFrame) -> DataFrame:
-    """Mean unigram log-prob per document against the corpus top-V
-    vocabulary; OOV tokens score ln(1/total).
+def unigram_micro_frame(
+    docs: DataFrame, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-document exact unigram-LM totals in bigint micro-nats
+    against the corpus top-V vocabulary; OOV tokens score
+    ln(1/total).  Shared engine for the LM score and the CCNet
+    bucketing, so the two queries can never drift.
 
     Pass 1 (vocab) is a corpus token count whose shuffle carries only
     (token, partial_count) thanks to map-side combine, then a top-V
     truncation — the result is vocabulary-sized state and is BROADCAST
     to pass 2, never collected per-token.  Pass 2 aggregates exact
-    bigint micro-nats per doc, so the mean is bit-stable across
-    partial-sum orders and engines.
+    bigint micro-nats per ``keys`` group, so every downstream mean /
+    ordering is bit-stable across partial-sum orders and engines.
     """
     toks_df = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+        *keys, tokens(F.col("text")).alias("toks")
     )
     tok = toks_df.select(F.explode("toks").alias("tok"))
     counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -292,10 +296,10 @@ def unigram_logprob_frame(docs: DataFrame) -> DataFrame:
             ).cast("bigint").alias("lp_micro"),
         )
     )
-    ex = toks_df.select("doc_id", F.explode("toks").alias("tok"))
+    ex = toks_df.select(*keys, F.explode("toks").alias("tok"))
     per_doc = (
         ex.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("doc_id")
+        .groupBy(*keys)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.count(
@@ -310,15 +314,25 @@ def unigram_logprob_frame(docs: DataFrame) -> DataFrame:
     return (
         per_doc.crossJoin(F.broadcast(total_df))
         .select(
-            "doc_id",
+            *keys,
             "n_tokens",
             "n_oov",
-            _round4(
-                (F.col("sum_micro") + F.col("n_oov") * floor_micro)
-                / F.lit(1000000.0)
-                / F.col("n_tokens")
-            ).alias("avg_logprob"),
+            (F.col("sum_micro") + F.col("n_oov") * floor_micro)
+            .alias("total_micro"),
         )
+    )
+
+
+def unigram_logprob_frame(docs: DataFrame) -> DataFrame:
+    """Mean unigram log-prob per document (rounded 4dp double view of
+    the exact micro-nat totals)."""
+    return unigram_micro_frame(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        _round4(
+            F.col("total_micro") / F.lit(1000000.0) / F.col("n_tokens")
+        ).alias("avg_logprob"),
     )
 
 
@@ -349,6 +363,93 @@ SELECT doc_id, n_tokens, n_oov,
        floor((sum_micro + n_oov * floor(ln(1.0 / total.total) * 1000000 + 0.5)::BIGINT)
              / 1000000.0 / n_tokens * 10000 + 0.5) / 10000 AS avg_logprob
 FROM per_doc, total
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
+    """CCNet §4.3 stratification: split each language's documents into
+    head / middle / tail terciles by LM score (Wenzek et al. 2020 —
+    the head bucket is what CCNet ships as training data; LLaMA-1
+    consumed head+middle).
+
+    Composed on :func:`unigram_micro_frame`, so the score can never
+    drift from ``text_unigram_logprob``.  The tercile is one
+    ``ntile(3)`` window per language — at 10^12 docs the only cost on
+    top of the LM pass is ONE exchange of (doc_id, lang, 3 bigints)
+    short rows on lang (|langs| partitions; a skewed mega-language
+    splits fine because ntile is rank-based, computed after AQE
+    re-splits the sort).  Ordering is exact: the key is
+    ``floor(total_micro / n_tokens)`` — bigint micro-nats, identical
+    in both engines — with doc_id as the tiebreak, so the bucket
+    boundary is deterministic, never float-order dependent.
+    """
+    scored = unigram_micro_frame(docs, keys=("doc_id", "lang")).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("total_micro") / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("avg_lp_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_lp_micro").desc(), F.col("doc_id")
+    )
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_lp_micro",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_buckets_frame(_docs(spark, sf_dir))
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOK} AS tok FROM documents),
+ex AS (SELECT doc_id, lang, unnest(tok) AS tok FROM toks),
+counts AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+total AS (SELECT sum(cnt) AS total FROM counts),
+vocab AS (
+  SELECT tok,
+         floor(ln(cnt / total.total) * 1000000 + 0.5)::BIGINT AS lp_micro
+  FROM counts, total
+  ORDER BY cnt DESC, tok LIMIT {VOCAB_V}
+),
+per_doc AS (
+  SELECT e.doc_id, e.lang,
+         count(*)::BIGINT AS n_tokens,
+         count(*) FILTER (WHERE v.lp_micro IS NULL)::BIGINT AS n_oov,
+         coalesce(sum(v.lp_micro), 0) AS sum_micro
+  FROM ex e LEFT JOIN vocab v USING (tok)
+  GROUP BY e.doc_id, e.lang
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         floor((sum_micro + n_oov *
+                floor(ln(1.0 / total.total) * 1000000 + 0.5)::BIGINT)
+               / n_tokens)::BIGINT AS avg_lp_micro
+  FROM per_doc, total
+),
+b AS (
+  SELECT *, ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_lp_micro DESC, doc_id) AS nt
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, avg_lp_micro,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM b
 """
 
 
@@ -434,5 +535,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_domain_stats": (domain_stats, DOMAIN_STATS_SQL),
     "corpus_domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "corpus_ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "text_char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
 }

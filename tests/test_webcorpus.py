@@ -159,3 +159,77 @@ def test_lsh_verified_pairs_scores_and_filters(spark, tmp_path):
     r = out[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["est_jaccard"] == 1.0
+
+
+def test_ccnet_buckets_terciles_and_ordering(spark):
+    """Per language: bucket sizes differ by <= 1 (ntile contract) and
+    every head doc scores >= every tail doc (ordering is the exact
+    bigint micro-nat key, so this is deterministic)."""
+    from paper2llm_spark.operators.webcorpus import ccnet_buckets
+
+    df = ccnet_buckets(spark, "/root/testdata/sf0.001").cache()
+    sizes = {
+        (r["lang"], r["bucket"]): r["count"]
+        for r in df.groupBy("lang", "bucket").count().collect()
+    }
+    langs = {k[0] for k in sizes}
+    assert langs, "no languages bucketed"
+    for lang in langs:
+        per = [sizes.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert max(per) - min(per) <= 1, (lang, per)
+    import pyspark.sql.functions as F
+
+    agg = (
+        df.groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("bucket") == "head", F.col("avg_lp_micro")))
+            .alias("head_min"),
+            F.max(F.when(F.col("bucket") == "tail", F.col("avg_lp_micro")))
+            .alias("tail_max"),
+        )
+        .collect()
+    )
+    for r in agg:
+        assert r["head_min"] >= r["tail_max"], r
+
+
+def test_ccnet_buckets_vocab_joins_broadcast(spark):
+    """The vocab and the 1-row total are vocabulary-sized state: every
+    join must be broadcast (a sort-merge join would reshuffle the
+    exploded token stream)."""
+    from paper2llm_spark.operators.webcorpus import ccnet_buckets
+
+    plan = ccnet_buckets(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_dedup_drops_planted_copies_only(spark):
+    """SemDeDup: planted near-dup copies must drop (except pairs split
+    by a cell boundary — the paper's recall caveat), and no original
+    may be dropped on the near-orthogonal noise corpus."""
+    from paper2llm_spark.operators.similarity import (
+        N_PLANT,
+        PLANT_OFFSET,
+        semantic_dedup,
+    )
+    import pyspark.sql.functions as F
+
+    df = semantic_dedup(spark, "/root/testdata/sf0.001").cache()
+    copies = df.filter(F.col("vec_id") >= PLANT_OFFSET)
+    assert copies.count() == min(
+        N_PLANT,
+        df.filter(F.col("vec_id") < PLANT_OFFSET).count(),
+    )
+    dropped_copies = copies.filter(~F.col("keep"))
+    assert dropped_copies.count() > 0
+    # every dropped copy points at its own original
+    assert dropped_copies.filter(
+        F.col("dup_of") != F.col("vec_id") - PLANT_OFFSET
+    ).count() == 0
+    assert df.filter(
+        (F.col("vec_id") < PLANT_OFFSET) & ~F.col("keep")
+    ).count() == 0
