@@ -369,6 +369,7 @@ _PRIORITY = [
     "corpus_snapshot_delta",
     "corpus_ccnet_buckets",
     "dedup_semantic",
+    "text_rpv2_signals",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -401,8 +402,8 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webcorpus, webfilter, webfunnel, webgraph,
-        webmeta, webnormalize, webquality, webselect, websnapshot,
-        webstats,
+        webmeta, webnormalize, webquality, webrpv2, webselect,
+        websnapshot, webstats,
     )
 
     from paper2llm_spark.sources import warc
@@ -411,7 +412,8 @@ def _registry() -> dict[str, tuple]:
     for module in (dedup, similarity, textstats, relational, multimodal,
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
-                   webnormalize, webfunnel, webmeta, websnapshot):
+                   webnormalize, webfunnel, webmeta, websnapshot,
+                   webrpv2):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "corpus_snapshot_delta",
     "corpus_ccnet_buckets",
     "dedup_semantic",
+    "text_rpv2_signals",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -643,3 +643,20 @@ def test_snapshot_delta_union_groupby_not_outer_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "SortAggregate" not in plan, "string-agg regression"
+
+
+def test_rpv2_signals_two_short_row_exchanges(spark):
+    """The RPv2 battery must stay the explode→two-groupBy shape: the
+    only corpus-sized exchange carries (doc_id, token, partial count)
+    short rows, line counters ride as min() (first()/max(string) would
+    degrade HashAggregate→SortAggregate), and entropy folds into the
+    same agg via H = ln n − (Σ c·ln c)/n — never a per-doc frequency
+    map or a second token pass."""
+    from paper2llm_spark.operators.webrpv2 import rpv2_signals
+
+    plan = _physical(rpv2_signals(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan, "constant-carry agg regression"
