@@ -370,6 +370,7 @@ _PRIORITY = [
     "corpus_ccnet_buckets",
     "dedup_semantic",
     "text_rpv2_signals",
+    "web_anchor_text",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -401,8 +402,8 @@ _PRIORITY = [
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webcorpus, webfilter, webfunnel, webgraph,
-        webmeta, webnormalize, webquality, webrpv2, webselect,
+        sink, textstats, webanchor, webcorpus, webfilter, webfunnel,
+        webgraph, webmeta, webnormalize, webquality, webrpv2, webselect,
         websnapshot, webstats,
     )
 
@@ -413,7 +414,7 @@ def _registry() -> dict[str, tuple]:
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
-                   webrpv2):
+                   webrpv2, webanchor):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "corpus_ccnet_buckets",
     "dedup_semantic",
     "text_rpv2_signals",
+    "web_anchor_text",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -660,3 +660,20 @@ def test_rpv2_signals_two_short_row_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan, "constant-carry agg regression"
+
+
+def test_anchor_text_short_row_exchanges_only(spark):
+    """Anchor aggregation: element extraction and href/text parsing are
+    codegen regexps in the scan task; the corpus-sized exchange carries
+    (dst_host, term, partial count) short rows (map-side combine before
+    it), and the top-K window runs over vocabulary-bounded aggregated
+    rows — zero joins, zero Python, html never shuffled."""
+    from paper2llm_spark.operators.webanchor import anchor_text
+
+    plan = _physical(anchor_text(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"dst_host"}, keys
