@@ -371,6 +371,7 @@ _PRIORITY = [
     "dedup_semantic",
     "text_rpv2_signals",
     "web_anchor_text",
+    "text_bpe_train",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -401,7 +402,7 @@ _PRIORITY = [
 
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
-        curation, dedup, multimodal, refscalars, relational, similarity,
+        bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webcorpus, webfilter, webfunnel,
         webgraph, webmeta, webnormalize, webquality, webrpv2, webselect,
         websnapshot, webstats,
@@ -414,7 +415,7 @@ def _registry() -> dict[str, tuple]:
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
-                   webrpv2, webanchor):
+                   webrpv2, webanchor, bpe):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "text_rpv2_signals",
     "web_anchor_text",
+    "text_bpe_train",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -677,3 +677,20 @@ def test_anchor_text_short_row_exchanges_only(spark):
     import re as _re
     keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert keys == {"dst_host"}, keys
+
+
+def test_bpe_pair_count_is_short_row_word_count_shape(spark):
+    """Each BPE round's pair count must stay the word-count shape: a
+    map-side-combinable HashAggregate over (a, b) short rows from the
+    vocab-sized word-type table — no Python, no joins, no sort-based
+    aggregation."""
+    from paper2llm_spark.operators.bpe import (
+        _pair_counts, _symbolize, _word_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(_pair_counts(_symbolize(_word_counts(docs))))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (wc, pairs)
