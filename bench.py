@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_rpv2_signals",
     "web_anchor_text",
     "text_bpe_train",
+    "corpus_length_quantiles",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

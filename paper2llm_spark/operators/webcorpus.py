@@ -454,6 +454,76 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# per-language document-length quantiles
+# ---------------------------------------------------------------------------
+
+LEN_QUANTILES = (0.1, 0.5, 0.9, 0.99)
+
+
+def length_quantiles_frame(docs: DataFrame) -> DataFrame:
+    """Per-language token-length distribution: doc count, min/max, and
+    exact p10/p50/p90/p99 — the corpus profile every curation round
+    reports before and after filtering (C4/Gopher/RefinedWeb all
+    publish exactly this table).
+
+    EXACT ``percentile`` is deliberately safe here at 100 TB: its
+    aggregation state is a (length -> count) map bounded by the number
+    of DISTINCT token lengths (~10^4 for real documents), not by row
+    count, and it keeps its map-side partial phase — so the plan is one
+    short-row exchange per language, same as a count.  For unbounded-
+    cardinality metrics the swap is ``approx_percentile`` with the same
+    call shape.  Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    both interpolate at rank (n−1)·p and agree bit-for-bit (verified —
+    including the float tails), with ``_round4`` applied for the gate.
+    """
+    lens = docs.select(
+        "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_toks")
+    )
+    q = F.percentile("n_toks", F.lit(list(LEN_QUANTILES)))
+    agg = lens.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+        q.alias("q"),
+    )
+    sel = [
+        "lang", "n_docs", "min_toks", "max_toks",
+    ] + [
+        _round4(F.element_at("q", i + 1)).alias(
+            f"p{int(p * 100):02d}_toks"
+        )
+        for i, p in enumerate(LEN_QUANTILES)
+    ]
+    return agg.select(*sel).orderBy("lang")
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_quantiles_frame(_docs(spark, sf_dir))
+
+
+_Q_LIST = "[" + ", ".join(str(p) for p in LEN_QUANTILES) + "]"
+_Q_COLS = ",\n       ".join(
+    f"floor(q[{i + 1}] * 10000 + 0.5) / 10000 AS p{int(p * 100):02d}_toks"
+    for i, p in enumerate(LEN_QUANTILES)
+)
+
+LENGTH_QUANTILES_SQL = f"""
+WITH l AS (
+  SELECT lang, len({_TOK})::BIGINT AS n_toks FROM documents
+),
+a AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         min(n_toks) AS min_toks, max(n_toks) AS max_toks,
+         quantile_cont(n_toks, {_Q_LIST}) AS q
+  FROM l GROUP BY lang
+)
+SELECT lang, n_docs, min_toks, max_toks,
+       {_Q_COLS}
+FROM a ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # character-entropy quality signal
 # ---------------------------------------------------------------------------
 
@@ -536,5 +606,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "corpus_ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
+    "corpus_length_quantiles": (length_quantiles, LENGTH_QUANTILES_SQL),
     "text_char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
 }

@@ -233,3 +233,30 @@ def test_semantic_dedup_drops_planted_copies_only(spark):
     assert df.filter(
         (F.col("vec_id") < PLANT_OFFSET) & ~F.col("keep")
     ).count() == 0
+
+
+def test_length_quantiles_semantics(spark):
+    """p10/p50/p90/p99 replayed with numpy's linear interpolation on a
+    crafted single-language corpus."""
+    import numpy as np
+    from paper2llm_spark.operators.webcorpus import length_quantiles_frame
+
+    DOC_SCHEMA = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    lens = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s0", 2 * n) for i, n in enumerate(lens)
+    ]
+    r = length_quantiles_frame(
+        spark.createDataFrame(rows, DOC_SCHEMA)
+    ).collect()[0]
+    assert (r["lang"], r["n_docs"], r["min_toks"], r["max_toks"]) == (
+        "en", len(lens), 1, 100,
+    )
+    import math
+    for p in (10, 50, 90, 99):
+        want = math.floor(
+            float(np.percentile(lens, p, method="linear")) * 1e4 + 0.5
+        ) / 1e4
+        assert r[f"p{p:02d}_toks"] == want, (p, r[f"p{p:02d}_toks"], want)
