@@ -373,6 +373,7 @@ _PRIORITY = [
     "web_anchor_text",
     "text_bpe_train",
     "corpus_length_quantiles",
+    "web_robots_filter",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -405,7 +406,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webcorpus, webfilter, webfunnel,
-        webgraph, webmeta, webnormalize, webquality, webrpv2, webselect,
+        webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
 
@@ -416,7 +417,7 @@ def _registry() -> dict[str, tuple]:
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
-                   webrpv2, webanchor, bpe):
+                   webrpv2, webanchor, bpe, webrobots):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

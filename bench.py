@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "web_anchor_text",
     "text_bpe_train",
     "corpus_length_quantiles",
+    "web_robots_filter",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -694,3 +694,20 @@ def test_bpe_pair_count_is_short_row_word_count_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortAggregate" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x (wc, pairs)
+
+
+def test_robots_filter_broadcast_only_no_exchange(spark):
+    """The compliance check must ride the scan task: the deduped rule
+    table is broadcast and joined once per path depth level — no
+    explode+regroup (which would exchange corpus-sized rows on url),
+    no sort-merge join, no Python."""
+    from paper2llm_spark.operators.webrobots import robots_filter
+
+    plan = _physical(robots_filter(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # the only hash exchanges belong to the small-side rule dedup
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"host", "source"}, keys
