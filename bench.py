@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "text_bpe_train",
     "corpus_length_quantiles",
     "web_robots_filter",
+    "corpus_weighted_sample",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

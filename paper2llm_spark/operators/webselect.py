@@ -32,7 +32,7 @@ engine-identical floor(x*1e4+0.5)/1e4 rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -429,8 +429,83 @@ FROM plan
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+WS_SAMPLE_K = 100
+
+
+def weighted_sample_frame(docs: DataFrame, k: int = WS_SAMPLE_K) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, probability
+    proportional to token count (the token-budget sampling step of
+    mixture construction — longer documents proportionally likelier).
+
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"): give item i the key ``u_i^(1/w_i)`` with u_i uniform
+    and keep the k largest keys — a one-pass, shuffle-free selection
+    whose top-k IS a weighted sample without replacement.  This is THE
+    cluster-friendly WR sampler: no sequential reservoir, no global
+    state; Spark compiles the orderBy+limit into
+    ``TakeOrderedAndProject`` (per-partition top-k, merge at the
+    driver), so at 10^12 documents nothing shuffles but k rows per
+    partition.
+
+    Exactness: u_i comes from the portable 60-bit hash (no RNG), and
+    the ordering key uses ``ln(u)/w`` (monotone in u^(1/w)) with ln in
+    exact micro-nats — ``floor(ln(u)·1e6+0.5)::BIGINT / w`` — so both
+    engines order by the same double of two exact integers;
+    ``doc_id`` breaks exact ties.  Rank is re-derived AFTER the limit
+    over k rows (tiny), never as a corpus-wide window.
+    """
+    u = portable_hash60(
+        F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 60))
+    w = F.greatest(F.size(tokens(F.col("text"))).cast("bigint"), F.lit(1))
+    key_micro = F.floor(F.log(u) * 1000000 + F.lit(0.5)).cast("bigint")
+    scored = docs.select(
+        "doc_id", "lang",
+        w.alias("weight_toks"),
+        (key_micro / w).alias("es_key"),
+    )
+    top = scored.orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    ).limit(k)
+    rank_w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(rank_w).cast("bigint").alias("sample_rank"),
+        "doc_id", "lang", "weight_toks",
+        _round4(F.col("es_key")).alias("es_key"),
+    )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample_frame(_docs(spark, sf_dir))
+
+
+_WS_U = f"(({sql_hash60(chr(39) + 'ws:' + chr(39) + ' || doc_id')}) / {float(1 << 60)})"
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         greatest(len({_TOK})::BIGINT, 1) AS weight_toks,
+         floor(ln({_WS_U}) * 1000000 + 0.5)::BIGINT
+           / greatest(len({_TOK})::BIGINT, 1) AS es_key
+  FROM documents
+),
+top AS (
+  SELECT * FROM scored ORDER BY es_key DESC, doc_id LIMIT {WS_SAMPLE_K}
+)
+SELECT row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank,
+       doc_id, lang, weight_toks,
+       floor(es_key * 10000 + 0.5) / 10000 AS es_key
+FROM top
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "corpus_dsir_weights": (dsir_weights, DSIR_WEIGHTS_SQL),
+    "corpus_weighted_sample": (weighted_sample, WEIGHTED_SAMPLE_SQL),
     "corpus_url_dedup": (url_dedup, URL_DEDUP_SQL),
     "corpus_sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "corpus_mixture_plan": (mixture_plan, MIXTURE_PLAN_SQL),

@@ -123,3 +123,50 @@ def test_mixture_plan_rates(spark):
     assert abs(out["en"]["sample_rate"] - round(want_en, 4)) < 1e-9
     assert out["zh"]["sample_rate"] == 1.0
     assert out["en"]["avail_tokens"] == 20000
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """Efraimidis–Spirakis keys replayed exactly: ln(u) in micro-nats
+    over the portable hash, divided by the token-count weight; top-k by
+    (key desc, doc_id)."""
+    import hashlib
+    import math
+
+    from paper2llm_spark.operators.webselect import weighted_sample_frame
+
+    DOC_SCHEMA = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    rows = [
+        (i, " ".join(["w"] * (1 + (i * 7) % 50)), "en", "s0", 0)
+        for i in range(40)
+    ]
+    out = weighted_sample_frame(
+        spark.createDataFrame(rows, DOC_SCHEMA), k=10
+    ).collect()
+
+    def es_key(doc_id, n_toks):
+        h = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60)
+        return math.floor(math.log(u) * 1e6 + 0.5) / max(n_toks, 1)
+
+    want = sorted(
+        ((es_key(i, 1 + (i * 7) % 50), i) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(r["sample_rank"], r["doc_id"]) for r in out]
+    assert sorted(got) == [(rk + 1, i) for rk, (_k, i) in enumerate(want)]
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    """The top-k must compile to TakeOrderedAndProject (per-partition
+    heads merged at the driver) — a global Sort+Exchange before the
+    limit would shuffle the corpus to sample 100 rows."""
+    from paper2llm_spark.operators.webselect import weighted_sample
+
+    plan = (
+        weighted_sample(spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
