@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "corpus_length_quantiles",
     "web_robots_filter",
     "corpus_weighted_sample",
+    "text_bpe_token_count",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

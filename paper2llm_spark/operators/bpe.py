@@ -189,6 +189,58 @@ FROM w{BPE_MERGES}"""
 BPE_TRAIN_SQL = _bpe_sql()
 
 
+# ---------------------------------------------------------------------------
+# apply the trained tokenizer: per-document BPE token count / fertility
+# ---------------------------------------------------------------------------
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-document under the trained BPE vocabulary, plus
+    fertility (BPE tokens per word) — the number every tokenizer
+    budget/mixture computation needs ("how many training tokens is
+    this corpus?").
+
+    Composition, not recomputation: the segmented word-type table from
+    :func:`bpe_train_frame` is vocab-sized, so applying the tokenizer
+    corpus-wide is ONE explode + a **broadcast** join on the word +
+    a map-side-combinable groupBy(doc_id) of bigint sums — the same
+    short-row exchange as a word count.  Re-segmenting every token
+    occurrence (8 string replaces × corpus tokens) would do Heaps-law
+    times more string work for the same answer.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seg, _merges = bpe_train_frame(docs)
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    joined = ex.join(F.broadcast(seg.select("w", "n_symbols")), "w")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_symbols").alias("bpe_tokens"),
+    )
+    fert = F.floor(
+        F.col("bpe_tokens") / F.col("n_words") * 10000 + F.lit(0.5)
+    ) / 10000
+    return agg.select("doc_id", "n_words", "bpe_tokens", fert.alias("fertility"))
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+WITH seg AS ({BPE_TRAIN_SQL}),
+ex AS (SELECT doc_id, unnest({_TOK}) AS w FROM documents),
+a AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         sum(n_symbols)::BIGINT AS bpe_tokens
+  FROM ex JOIN seg USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, bpe_tokens,
+       floor(bpe_tokens / n_words * 10000 + 0.5) / 10000 AS fertility
+FROM a
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_bpe_train": (bpe_train, BPE_TRAIN_SQL),
+    "text_bpe_token_count": (bpe_token_count, BPE_TOKEN_COUNT_SQL),
 }

@@ -67,3 +67,28 @@ def test_bpe_overlapping_pair_is_greedy_left_to_right(spark):
     assert merges[1][1:3] == ("aa", "aa")
     assert got["aaaa"] == ("aaaa", 1) or got["aaaa"][1] == 1
     assert got["aaa"][0].startswith("aa")
+
+
+def test_bpe_token_count_composition(spark, tmp_path):
+    """Fertility over a crafted corpus: write a tiny documents.parquet,
+    run the full train+apply composition, and check sums against the
+    replayed segmentations."""
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = [
+        (1, " ".join(corpus[:8]), "en", "s0", 0),
+        (2, " ".join(corpus[8:]), "en", "s0", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs, DOC_SCHEMA).write.parquet(f"{sf}/documents.parquet")
+
+    from paper2llm_spark.operators.bpe import bpe_token_count
+
+    wc = {w: corpus.count(w) for w in set(corpus)}
+    _, want_seg = _replay(wc, BPE_MERGES)
+    n_sym = {w: len(s.split()) for w, s in want_seg.items()}
+    out = {r["doc_id"]: r for r in bpe_token_count(spark, sf).collect()}
+    for doc_id, text, *_ in docs:
+        words = text.split()
+        want_tokens = sum(n_sym[w] for w in words)
+        assert out[doc_id]["n_words"] == len(words)
+        assert out[doc_id]["bpe_tokens"] == want_tokens
