@@ -376,6 +376,7 @@ _PRIORITY = [
     "web_robots_filter",
     "corpus_weighted_sample",
     "text_bpe_token_count",
+    "web_hits_scores",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -247,7 +247,114 @@ FROM e GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000
+
+
+def hits_frame(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """``HITS_ITERS`` exact-integer HITS rounds (Kleinberg 1999,
+    "Authoritative sources in a hyperlinked environment") — the other
+    classic crawl-priority centrality (authority ≈ content quality,
+    hub ≈ directory quality).
+
+    Same scale discipline as :func:`pagerank_frame`: the edge list is
+    checkpointed ONCE; each half-round shuffles only (node, bigint)
+    contribution rows through a map-side-combinable groupBy.  The
+    per-round normalization (divide by the max — HITS diverges without
+    it) stays exact AND distributed: the 1-row max is crossJoin-
+    **broadcast** back (never a driver collect), and scores renormalize
+    as ``v * 1e6 div max`` — integer arithmetic, bit-identical to the
+    dual's unrolled CTEs regardless of partial-sum order.
+    """
+    ed = edges.localCheckpoint()
+    hub = nodes.select(
+        "doc_id", F.lit(HITS_SCALE).cast("bigint").alias("hub")
+    )
+
+    def half_round(scores: DataFrame, col: str, key_in: str,
+                   key_out: str, out: str) -> DataFrame:
+        raw = (
+            ed.join(scores.withColumnRenamed("doc_id", key_in), key_in)
+            .groupBy(key_out)
+            .agg(F.sum(col).alias("s"))
+            .withColumnRenamed(key_out, "doc_id")
+        )
+        filled = nodes.join(raw, "doc_id", "left").select(
+            "doc_id", F.coalesce("s", F.lit(0)).cast("bigint").alias("s")
+        )
+        mx = filled.agg(F.max("s").alias("mx"))
+        return filled.crossJoin(F.broadcast(mx)).select(
+            "doc_id",
+            F.expr(f"(s * {HITS_SCALE}) div greatest(mx, 1)")
+            .cast("bigint").alias(out),
+        )
+
+    for _ in range(HITS_ITERS):
+        auth = half_round(hub, "hub", "src", "dst", "auth")
+        hub = half_round(auth, "auth", "dst", "src", "hub")
+    return hub.join(auth, "doc_id").select(
+        "doc_id", F.col("hub").alias("hub_micro"),
+        F.col("auth").alias("auth_micro"),
+    )
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n = nodes.count()
+    return hits_frame(nodes, synth_edges(nodes, n))
+
+
+def _hits_sql() -> str:
+    h = sql_hash60("src || ':' || k")
+    ks = ", ".join(f"({k})" for k in range(PR_OUT_K))
+    ctes = [
+        f"""n AS (SELECT count(*) AS n FROM documents),
+e0 AS (SELECT doc_id AS src, ({h}) % n.n AS dst
+       FROM documents, n, (VALUES {ks}) t(k)),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+h0 AS (SELECT doc_id, {HITS_SCALE}::BIGINT AS hub FROM documents)"""
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""ar{i} AS (SELECT d.doc_id,
+                   coalesce((SELECT sum(h.hub) FROM e
+                             JOIN h{p} h ON h.doc_id = e.src
+                             WHERE e.dst = d.doc_id), 0)::BIGINT AS s
+            FROM documents d),
+a{i} AS (SELECT doc_id,
+                ((s * {HITS_SCALE})
+                 // greatest((SELECT max(s) FROM ar{i}), 1))::BIGINT AS auth
+         FROM ar{i}),
+hr{i} AS (SELECT d.doc_id,
+                 coalesce((SELECT sum(a.auth) FROM e
+                           JOIN a{i} a ON a.doc_id = e.dst
+                           WHERE e.src = d.doc_id), 0)::BIGINT AS s
+          FROM documents d),
+h{i} AS (SELECT doc_id,
+                ((s * {HITS_SCALE})
+                 // greatest((SELECT max(s) FROM hr{i}), 1))::BIGINT AS hub
+         FROM hr{i})"""
+        )
+    last = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.doc_id, h.hub AS hub_micro, a.auth AS auth_micro
+FROM h{last} h JOIN a{last} a USING (doc_id)"""
+    )
+
+
+HITS_SQL = _hits_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "web_pagerank": (pagerank, PAGERANK_SQL),
     "web_outlink_hostgraph": (outlink_hostgraph, OUTLINK_HOSTGRAPH_SQL),
+    "web_hits_scores": (hits_scores, HITS_SQL),
 }

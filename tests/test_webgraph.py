@@ -127,3 +127,33 @@ def test_outlinks_frame_handles_real_crawl_anchor_shapes(spark):
         ("s.test", "b.test"): 1,
         ("s.test", "c.test"): 1,
     }
+
+
+def test_hits_exact_integer_rounds(spark):
+    """Replay the exact-integer HITS arithmetic on a 4-node graph:
+    1->3, 2->3, 3->4 (node 3 is the authority, 1/2 are hubs)."""
+    from paper2llm_spark.operators.webgraph import (
+        HITS_ITERS, HITS_SCALE, hits_frame,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    out = {
+        r["doc_id"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits_frame(nodes, edges).collect()
+    }
+
+    hub = {i: HITS_SCALE for i in (1, 2, 3, 4)}
+    es = [(1, 3), (2, 3), (3, 4)]
+    for _ in range(HITS_ITERS):
+        raw_a = {i: sum(hub[s] for s, d in es if d == i) for i in hub}
+        mx = max(max(raw_a.values()), 1)
+        auth = {i: raw_a[i] * HITS_SCALE // mx for i in hub}
+        raw_h = {i: sum(auth[d] for s, d in es if s == i) for i in hub}
+        mx = max(max(raw_h.values()), 1)
+        hub = {i: raw_h[i] * HITS_SCALE // mx for i in hub}
+    assert out == {i: (hub[i], auth[i]) for i in (1, 2, 3, 4)}
+    # structural sanity: 3 is the top authority, 1 and 2 the top hubs
+    assert out[3][1] == HITS_SCALE and out[1][0] == out[2][0] == HITS_SCALE
