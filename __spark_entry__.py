@@ -377,6 +377,7 @@ _PRIORITY = [
     "corpus_weighted_sample",
     "text_bpe_token_count",
     "web_hits_scores",
+    "web_boilerplate_blocks",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -408,7 +409,7 @@ _PRIORITY = [
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webanchor, webcorpus, webfilter, webfunnel,
+        sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
@@ -420,7 +421,7 @@ def _registry() -> dict[str, tuple]:
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
-                   webrpv2, webanchor, bpe, webrobots):
+                   webrpv2, webanchor, bpe, webrobots, webboiler):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

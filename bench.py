@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "corpus_weighted_sample",
     "text_bpe_token_count",
     "web_hits_scores",
+    "web_boilerplate_blocks",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -711,3 +711,23 @@ def test_robots_filter_broadcast_only_no_exchange(spark):
     import re as _re
     keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert keys <= {"host", "source"}, keys
+
+
+def test_boilerplate_blocks_single_url_exchange(spark):
+    """Block split + features are scan-side codegen; the row_number /
+    prev-sure / next-sure windows all share ONE hashpartitioning on
+    url (no second exchange, no joins, no Python). The corpus-sized
+    shuffle carries short block rows, never the raw page."""
+    from paper2llm_spark.operators.webboiler import boilerplate_blocks
+
+    # sf0.01: the semantic test caches sf0.001 lineage (InMemoryRelation
+    # would splice into this plan)
+    plan = _physical(boilerplate_blocks(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(url" in hash_exchanges[0]
