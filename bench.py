@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_bpe_token_count",
     "web_hits_scores",
     "web_boilerplate_blocks",
+    "search_bm25_topk",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

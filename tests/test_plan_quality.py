@@ -731,3 +731,21 @@ def test_boilerplate_blocks_single_url_exchange(spark):
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "hashpartitioning(url" in hash_exchanges[0]
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """BM25: the query-term and df tables must broadcast onto the
+    postings (never a corpus-sized SortMergeJoin); the 1-row corpus
+    scalars ride a broadcast nested-loop crossJoin; the only
+    corpus-sized hash exchange is the postings groupBy."""
+    from paper2llm_spark.operators.websearch import bm25_topk
+
+    plan = _physical(bm25_topk(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    # postings (doc_id, term...), candidate agg (query_id, doc_id...),
+    # tournament windows (query_id...) — all post-broadcast-prune sides
+    assert any(k.startswith("doc_id") for k in keys), keys
