@@ -379,6 +379,7 @@ _PRIORITY = [
     "web_hits_scores",
     "web_boilerplate_blocks",
     "search_bm25_topk",
+    "web_host_prior",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -411,7 +412,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
-        websearch,
+        websearch, webhost,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
@@ -423,7 +424,8 @@ def _registry() -> dict[str, tuple]:
                    refscalars, curation, webstats, webcorpus, webselect,
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
-                   webrpv2, webanchor, bpe, webrobots, webboiler, websearch):
+                   webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
+                   webhost):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

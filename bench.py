@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "web_hits_scores",
     "web_boilerplate_blocks",
     "search_bm25_topk",
+    "web_host_prior",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

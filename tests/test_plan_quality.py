@@ -749,3 +749,21 @@ def test_bm25_query_side_broadcasts(spark):
     # postings (doc_id, term...), candidate agg (query_id, doc_id...),
     # tournament windows (query_id...) — all post-broadcast-prune sides
     assert any(k.startswith("doc_id") for k in keys), keys
+
+
+def test_host_prior_corpus_never_shuffles(spark):
+    """Host prior: the corpus-sized side must stay in its scan tasks —
+    the only hash exchanges carry (host, count, sum) partial-agg rows;
+    the host table re-enters by BroadcastHashJoin and the 1-row global
+    mean by broadcast nested loop.  No SortMergeJoin, no Python."""
+    from paper2llm_spark.operators.webhost import host_prior_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(host_prior_frame(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys <= {"host"}, keys
