@@ -380,6 +380,7 @@ _PRIORITY = [
     "web_boilerplate_blocks",
     "search_bm25_topk",
     "web_host_prior",
+    "dedup_substring_spans",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -412,7 +413,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
-        websearch, webhost,
+        websearch, webhost, websubstr,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
@@ -425,7 +426,7 @@ def _registry() -> dict[str, tuple]:
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
-                   webhost):
+                   webhost, websubstr):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

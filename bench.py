@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "web_boilerplate_blocks",
     "search_bm25_topk",
     "web_host_prior",
+    "dedup_substring_spans",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -767,3 +767,22 @@ def test_host_prior_corpus_never_shuffles(spark):
     import re as _re
     keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
     assert keys <= {"host"}, keys
+
+
+def test_substring_spans_two_exchanges_no_joins(spark):
+    """ExactSubstr spans: gram fingerprints built scan-side, exactly
+    two hash exchanges (gh count-window; doc_id island window), the
+    final groupBy(doc_id, island) reuses the doc_id partitioning, and
+    the whole plan is join-free and Python-free."""
+    from paper2llm_spark.operators.websubstr import substring_spans_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(substring_spans_frame(docs))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    lines = [ln for ln in plan.splitlines()
+             if "Exchange hashpartitioning" in ln]
+    assert len(lines) == 2, lines
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys == {"gh", "doc_id"}, keys
