@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "search_bm25_topk",
     "web_host_prior",
     "dedup_substring_spans",
+    "text_winnow_fingerprints",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

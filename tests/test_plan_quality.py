@@ -786,3 +786,16 @@ def test_substring_spans_two_exchanges_no_joins(spark):
     assert len(lines) == 2, lines
     keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
     assert keys == {"gh", "doc_id"}, keys
+
+
+def test_winnow_zero_exchanges(spark):
+    """Winnowing: the whole operator is a scan-side projection chain
+    over bound arrays plus one explode — zero exchanges, zero joins,
+    zero Python."""
+    from paper2llm_spark.operators.webwinnow import winnow_fingerprints_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(winnow_fingerprints_frame(docs))
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
