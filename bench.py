@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "web_host_prior",
     "dedup_substring_spans",
     "text_winnow_fingerprints",
+    "web_crawl_frontier",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -799,3 +799,19 @@ def test_winnow_zero_exchanges(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_frontier_two_windows_no_joins(spark):
+    """Frontier: two window exchanges (host; shard) of short rows, no
+    joins, no Python — the page payload never enters the frontier."""
+    from paper2llm_spark.operators.webfrontier import crawl_frontier_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(crawl_frontier_frame(docs))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys == {"host", "shard"}, keys
+    # the scan must prune text: only source/doc_id/n_chars are read
+    assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
