@@ -383,6 +383,7 @@ _PRIORITY = [
     "dedup_substring_spans",
     "text_winnow_fingerprints",
     "web_crawl_frontier",
+    "text_readability",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
@@ -415,7 +416,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
-        websearch, webfrontier, webhost, websubstr, webwinnow,
+        websearch, webfrontier, webhost, webreadability, websubstr, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
@@ -428,7 +429,7 @@ def _registry() -> dict[str, tuple]:
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
-                   webfrontier, webhost, websubstr, webwinnow):
+                   webfrontier, webhost, webreadability, websubstr, webwinnow):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

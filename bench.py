@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "text_winnow_fingerprints",
     "web_crawl_frontier",
+    "text_readability",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -815,3 +815,15 @@ def test_frontier_two_windows_no_joins(spark):
     assert keys == {"host", "shard"}, keys
     # the scan must prune text: only source/doc_id/n_chars are read
     assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
+
+
+def test_readability_zero_exchanges(spark):
+    """Readability: one codegen projection in the scan task — zero
+    exchanges, joins, Python."""
+    from paper2llm_spark.operators.webreadability import readability_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(readability_frame(docs))
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
