@@ -384,6 +384,7 @@ _PRIORITY = [
     "text_winnow_fingerprints",
     "web_crawl_frontier",
     "text_readability",
+    "dedup_winnow_pairs",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

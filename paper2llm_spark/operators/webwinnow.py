@@ -132,6 +132,63 @@ SELECT doc_id, poss[j]::BIGINT AS pos, gh[poss[j]]::BIGINT AS fp FROM u
 """
 
 
+DF_CAP = 64       # drop boilerplate fingerprints shared by > CAP docs
+MIN_SHARED = 2    # report pairs sharing >= 2 surviving fingerprints
+
+
+def winnow_pairs_frame(docs: DataFrame) -> DataFrame:
+    """MOSS candidate pairs: documents sharing >= ``MIN_SHARED``
+    winnowing fingerprints, with the shared count (the score MOSS
+    ranks matches by).
+
+    Plan shape: fingerprints stay zero-shuffle (above); then (1) a
+    groupBy(doc_id, fp) dedupes multi-position selections, (2) a count
+    window on ``fp`` applies the ``DF_CAP`` hot-set prune BEFORE the
+    self-join — the same stop-shingle discipline as
+    ``dedup_ngram_jaccard``, bounding pair fanout at C(CAP, 2) per
+    fingerprint — and (3) the capped posting self-join + pair groupBy.
+    Every exchanged row is (bigint, bigint): the text never shuffles.
+    """
+    fps = winnow_fingerprints_frame(docs) \
+        .groupBy("doc_id", "fp").agg(F.count("*").alias("_n")) \
+        .select("doc_id", "fp")
+    from pyspark.sql import Window
+    df_cnt = F.count("*").over(Window.partitionBy("fp"))
+    capped = fps.withColumn("df", df_cnt) \
+        .filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP)) \
+        .select("doc_id", "fp")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(b, "fp").filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    return pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(F.count("*").cast("bigint").alias("n_shared")) \
+        .filter(F.col("n_shared") >= MIN_SHARED)
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return winnow_pairs_frame(docs)
+
+
+WINNOW_PAIRS_SQL = f"""
+WITH fp_all AS ({WINNOW_SQL}),
+fps AS (SELECT DISTINCT doc_id, fp FROM fp_all),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df BETWEEN 2 AND {DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
+    "dedup_winnow_pairs": (winnow_pairs, WINNOW_PAIRS_SQL),
 }

@@ -827,3 +827,22 @@ def test_readability_zero_exchanges(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_pairs_cap_before_join(spark):
+    """Winnow pairs: the df-cap filter must sit on the join INPUT (the
+    posting lists are pruned before pairing), the join key is fp, and
+    the text column never reaches an exchange."""
+    from paper2llm_spark.operators.webwinnow import winnow_pairs_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(winnow_pairs_frame(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    # first-key capture: dedup groupBy (doc_id, fp), df window + join
+    # (fp), pair groupBy (doc_a, doc_b)
+    assert keys <= {"doc_id", "fp", "doc_a"}, keys
+    assert "text" not in "".join(
+        _re.findall(r"Exchange [^\n]*", plan)
+    )

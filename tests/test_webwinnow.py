@@ -101,3 +101,36 @@ def test_corpus_density(spark):
     ).fetchone()[0]
     density = n_sel / n_grams
     assert 0.5 * 2 / (W_WIN + 1) < density < 2.0 * 2 / (W_WIN + 1), density
+
+
+def test_pairs_rank_true_near_dups_first(spark):
+    """Two docs sharing a long run must pair with a higher n_shared
+    than docs sharing only the minimum run; unrelated docs don't pair."""
+    from paper2llm_spark.operators.webwinnow import winnow_pairs_frame
+
+    long_shared = " ".join(f"L{i}" for i in range(30))
+    short_shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    docs = [
+        (0, f"a1 a2 {long_shared} a3 a4"),
+        (1, f"b1 b2 b3 {long_shared} b4"),
+        (2, f"c1 c2 {short_shared} c3 c4 c5 c6 c7 c8"),
+        (3, f"d1 d2 d3 d4 {short_shared} d5 d6 d7 d8"),
+        (4, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 e14"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_pairs_frame(df).collect()}
+    assert (0, 1) in got and (2, 3) in got
+    assert got[(0, 1)] > got[(2, 3)]
+    assert all(4 not in p for p in got)
+
+
+def test_pairs_df_cap_drops_boilerplate(spark):
+    """A fingerprint shared by > DF_CAP docs must not generate pairs
+    (no quadratic blowup on boilerplate)."""
+    from paper2llm_spark.operators.webwinnow import DF_CAP, winnow_pairs_frame
+
+    boiler = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    docs = [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(DF_CAP + 5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert winnow_pairs_frame(df).count() == 0
