@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "web_crawl_frontier",
     "text_readability",
     "dedup_winnow_pairs",
+    "web_url_templates",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

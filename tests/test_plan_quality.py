@@ -846,3 +846,20 @@ def test_winnow_pairs_cap_before_join(spark):
     assert "text" not in "".join(
         _re.findall(r"Exchange [^\n]*", plan)
     )
+
+
+def test_url_templates_one_corpus_exchange(spark):
+    """Trap miner: masking is scan-side; the only corpus-sized exchange
+    is the (host, template) groupBy; the host-share window reuses the
+    host clustering on the collapsed table. No joins, no Python, no
+    text read."""
+    from paper2llm_spark.operators.webtrap import url_templates_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(url_templates_frame(docs))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys <= {"host"}, keys
+    assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
