@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_readability",
     "dedup_winnow_pairs",
     "web_url_templates",
+    "corpus_source_overlap",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

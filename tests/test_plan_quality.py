@@ -863,3 +863,19 @@ def test_url_templates_one_corpus_exchange(spark):
     keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
     assert keys <= {"host"}, keys
     assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
+
+
+def test_source_overlap_corpus_never_joined(spark):
+    """Overlap audit: the only corpus-sized exchange is the map-side-
+    combinable groupBy(source); the pairwise stage is a broadcast
+    nested-loop self-join of the |sources|-row signature table."""
+    from paper2llm_spark.operators.weboverlap import source_overlap_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(source_overlap_frame(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys <= {"source"}, keys
