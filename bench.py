@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs",
     "web_url_templates",
     "corpus_source_overlap",
+    "web_recrawl_priority",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

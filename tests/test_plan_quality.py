@@ -879,3 +879,18 @@ def test_source_overlap_corpus_never_joined(spark):
     import re as _re
     keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
     assert keys <= {"source"}, keys
+
+
+def test_recrawl_zero_exchanges(spark):
+    """Recrawl estimator: history roll + change fold + literal-table
+    lookup + tier CASE are one scan-side projection — zero exchanges,
+    joins, Python; text never read."""
+    from paper2llm_spark.operators.webrecrawl import recrawl_priority_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(recrawl_priority_frame(docs))
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
