@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "web_url_templates",
     "corpus_source_overlap",
     "web_recrawl_priority",
+    "web_sitemap_urls",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

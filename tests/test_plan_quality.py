@@ -894,3 +894,19 @@ def test_recrawl_zero_exchanges(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     import re as _re
     assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
+
+
+def test_sitemap_zero_exchanges(spark):
+    """Sitemap parse: block split + field pulls are scan-side codegen +
+    one explode — zero exchanges, joins, Python; text never read."""
+    from paper2llm_spark.operators.websitemap import (
+        _synth_sitemaps, sitemap_urls_frame,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(sitemap_urls_frame(_synth_sitemaps(docs)))
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
