@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "corpus_source_overlap",
     "web_recrawl_priority",
     "web_sitemap_urls",
+    "dedup_cdc_chunks",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

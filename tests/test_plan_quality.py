@@ -910,3 +910,16 @@ def test_sitemap_zero_exchanges(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     import re as _re
     assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
+
+
+def test_cdc_zero_exchanges(spark):
+    """CDC chunking: boundary scan, bound append, and per-chunk digest
+    are scan-side array stages plus one explode — zero exchanges,
+    joins, Python."""
+    from paper2llm_spark.operators.webcdc import cdc_chunks_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(cdc_chunks_frame(docs))
+    assert "Join" not in plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
