@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "web_recrawl_priority",
     "web_sitemap_urls",
     "dedup_cdc_chunks",
+    "corpus_temperature_mix",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -923,3 +923,20 @@ def test_cdc_zero_exchanges(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_collapses_scan_side(spark):
+    """Temperature mix: ONE map-side-combinable groupBy(lang) (the
+    corpus collapses to |langs| rows before the exchange), 1-row
+    broadcast crossJoin normalizer, text never read."""
+    from paper2llm_spark.operators.webtemp import temperature_mix_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(temperature_mix_frame(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys <= {"lang"}, keys
+    assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
