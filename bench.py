@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "web_sitemap_urls",
     "dedup_cdc_chunks",
     "corpus_temperature_mix",
+    "search_index_postings",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

@@ -940,3 +940,26 @@ def test_temperature_mix_collapses_scan_side(spark):
     keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
     assert keys <= {"lang"}, keys
     assert "text" not in _re.findall(r"ReadSchema: struct<([^>]*)>", plan)[0]
+
+
+def test_index_postings_cap_under_collect(spark):
+    """Postings builder: two term-clustered exchanges (tf groupBy; df
+    window), the final collect groupBy reuses the term clustering, and
+    the DF_CAP filter sits UNDER the collect aggregate so no buffer
+    holds a stop term's corpus-sized posting list."""
+    from paper2llm_spark.operators.webindex import index_postings_frame
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _physical(index_postings_frame(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus-size bound
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+    assert keys == {"term"}, keys
+    lines = [ln for ln in plan.splitlines()
+             if "Exchange hashpartitioning" in ln]
+    assert len(lines) == 2, lines
+    # cap filter below the collect_list aggregate in the plan text
+    collect_at = plan.index("collect_list")
+    assert "n_total" in plan[collect_at:], "df cap not under the collect"
