@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dedup_cdc_chunks",
     "corpus_temperature_mix",
     "search_index_postings",
+    "events_retention_cohorts",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",
