@@ -417,6 +417,37 @@ _PRIORITY = [
 ]
 
 
+def _stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view->click attribution) as a
+    driver query.  Inner joins emit on match — the watermark bounds
+    state, never output — so the fully drained availableNow run equals
+    the batch interval self-join bit-for-bit and the dual is a REAL
+    value-hash gate (the stateful streaming queries get rows-only)."""
+    from paper2llm_spark.streaming.joins import start_interval_join
+
+    in_dir = _stage_events(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"p2l_ssj_{_STREAM_SEQ[0]}"
+    q = start_interval_join(spark, in_dir, query_name=name,
+                            max_files_per_trigger=64)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts AS view_ts,
+       c.ts AS click_ts,
+       (epoch_ms(c.ts) - epoch_ms(v.ts))::BIGINT AS lag_ms
+FROM events v JOIN events c
+  ON v.event_type = 'view' AND c.event_type = 'click'
+ AND c.user_id = v.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE
+"""
+
+
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
@@ -451,6 +482,9 @@ def _registry() -> dict[str, tuple]:
     )
     merged["stream_sessionize_stateful"] = (
         _stream_sessions_query, _stream_sessions_sql(),
+    )
+    merged["stream_interval_join"] = (
+        _stream_interval_join_query, _STREAM_INTERVAL_JOIN_SQL,
     )
 
     registry: dict[str, tuple] = {}

@@ -334,6 +334,7 @@ STREAM_BENCH_QUERIES = [
     "stream_dedup_exact",
     "stream_windowed_counts",
     "stream_sessionize_stateful",
+    "stream_interval_join",
 ]
 
 
