@@ -23,17 +23,23 @@ Postings serialize as comma-joined strings (exact cross-engine; the
 parquet-level encoding choice is the sink's concern).
 
 Plan shape (the scale story): tokenize+explode scan-side; exchange 1
-is the map-side-combinable ``groupBy(term, doc_id)`` tf count;
-exchange 2 the short-row ``(term, doc_id, tf)`` window for df; the
-final ``groupBy(term)`` collect reuses the term clustering — no third
-exchange.  Every shuffled row is two ids and a count; buffers are
-bounded by ``DF_CAP`` (plan-asserted: cap filter sits under the
-collect aggregate).
+is the map-side-combinable ``groupBy(term, doc_id)`` tf count; df
+comes from a second map-side-combinable ``groupBy(term)`` count whose
+|vocabulary|-row result re-enters by BROADCAST hash join — NOT a
+``count() over (partition by term)`` window, which would sort the
+whole (term, doc_id, tf) table inside |vocabulary| skewed partitions
+(measured 2x the query on the 31-term fixture, and a straggler
+factory on any Zipf corpus); then the ``groupBy(term)`` collect.
+Every shuffled row is two ids and a count; collect buffers are
+bounded by the cap (plan-asserted: cap filter sits under the collect
+aggregate).  The broadcast assumes a natural-language vocabulary
+(Heaps' law keeps |terms| ≪ corpus); an id-polluted vocabulary would
+swap the hint for an equi-join that reuses the term clustering.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKENS, tokens
@@ -51,32 +57,40 @@ def index_postings_frame(docs: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("tf")
     )
     n_total = docs.agg(F.count("*").cast("bigint").alias("n_total"))
-    g = g.crossJoin(F.broadcast(n_total)).withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    ).filter(
-        (F.col("df") <= DF_CAP)
-        & (100 * F.col("df") <= CAP_PCT * F.col("n_total"))
-    )
+    dfs = g.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    g = g.join(F.broadcast(dfs), "term") \
+        .crossJoin(F.broadcast(n_total)).filter(
+            (F.col("df") <= DF_CAP)
+            & (100 * F.col("df") <= CAP_PCT * F.col("n_total"))
+        )
     p = g.groupBy("term").agg(
         F.max("df").cast("bigint").alias("df"),
         F.sort_array(
             F.collect_list(F.struct("doc_id", "tf"))
         ).alias("post"),
     )
-    ds = F.transform(F.col("post"), lambda s: s["doc_id"])
-    gaps = F.transform(
-        F.sequence(F.lit(1), F.size("post")),
-        lambda j: F.element_at(ds, j) - F.when(
-            j == 1, F.lit(0).cast("bigint")
-        ).otherwise(F.element_at(ds, j - 1)),
+    # stage ds/tfl as BOUND attributes before the gap transform: HOF
+    # lambdas are interpreted with no CSE, so an inlined `ds`
+    # re-materializes the whole posting array per element_at — O(n^2)
+    # per term (measured 14x on the fixture's 66k-entry lists)
+    staged = p.select(
+        "term", "df",
+        F.transform(F.col("post"), lambda s: s["doc_id"]).alias("ds"),
+        F.transform(F.col("post"), lambda s: s["tf"]).alias("tfl"),
     )
-    tfs = F.transform(F.col("post"), lambda s: s["tf"])
-    return p.select(
+    gaps = F.transform(
+        F.sequence(F.lit(1), F.size("ds")),
+        lambda j: F.element_at(F.col("ds"), j) - F.when(
+            j == 1, F.lit(0).cast("bigint")
+        ).otherwise(F.element_at(F.col("ds"), j - 1)),
+    )
+    return staged.select(
         "term", "df",
         F.array_join(F.transform(gaps, lambda v: v.cast("string")), ",")
         .alias("gaps"),
-        F.array_join(F.transform(tfs, lambda v: v.cast("string")), ",")
-        .alias("tfs"),
+        F.array_join(
+            F.transform(F.col("tfl"), lambda v: v.cast("string")), ","
+        ).alias("tfs"),
     )
 
 
