@@ -452,7 +452,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
-        websearch, webcdc, webcohort, webfrontier, webhost, webindex, weboverlap, webreadability, webrecrawl, websitemap, websubstr, webtemp, webtrap, webwinnow,
+        websearch, webcdc, webcohort, webfrontier, webhost, webindex, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
@@ -465,7 +465,7 @@ def _registry() -> dict[str, tuple]:
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
-                   webcdc, webcohort, webfrontier, webhost, webindex, weboverlap, webreadability, webrecrawl, websitemap, websubstr, webtemp, webtrap, webwinnow):
+                   webcdc, webcohort, webfrontier, webhost, webindex, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "corpus_temperature_mix",
     "search_index_postings",
     "events_retention_cohorts",
+    "sketch_hll_registers",
+    "sketch_countmin_counts",
     "dedup_bloom_prefilter",
     "corpus_url_blocklist",
     "text_normalize_nfc",

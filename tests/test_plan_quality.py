@@ -969,3 +969,24 @@ def test_index_postings_cap_under_collect(spark):
     # cap filter below the collect_list aggregate in the plan text
     collect_at = plan.index("collect_list")
     assert "n_total" in plan[collect_at:], "df cap not under the collect"
+
+
+def test_sketches_bounded_partial_agg(spark):
+    """Sketches: hash/rank/bucket scan-side, ONE map-side-combinable
+    groupBy each — every partition ships a bounded register/counter
+    block regardless of corpus size. No joins, no Python."""
+    import re as _re
+
+    from paper2llm_spark.operators.websketch import (
+        countmin_counts_frame, hll_registers_frame,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for frame, key in ((hll_registers_frame, "bucket"),
+                       (countmin_counts_frame, "row_idx")):
+        plan = _physical(frame(docs))
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final
+        keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
+        assert keys == {key}, keys
