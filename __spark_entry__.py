@@ -203,6 +203,17 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
         .repartition(4)
         .write.parquet(in_dir)
     )
+    # stream_interval_join's value-hash dual is exact ONLY because the
+    # whole staged input drains in a single micro-batch (rows are
+    # time-shuffled across files, so a multi-batch replay would drop
+    # post-watermark rows and the driver row would go red with no
+    # hint why).  Guard the assumption at staging time: the file count
+    # must stay within every consumer's maxFilesPerTrigger (64).
+    n_files = len([f for f in os.listdir(in_dir) if f.endswith(".parquet")])
+    assert n_files <= 64, (
+        f"staged {n_files} event files > maxFilesPerTrigger=64; "
+        "single-micro-batch drain assumption broken"
+    )
     return in_dir
 
 
@@ -363,57 +374,68 @@ FROM documents GROUP BY md5(text)
 # driver row because they were inserted last. Everything registered is
 # still pytest-gated (tests/test_driver_contract.py runs the full set);
 # this list only decides who gets the *driver's* hash-green row.
+# Round-4 window (50 slots = the driver's observed CORRECTNESS cap).
+# Head: the 7 queries never driver-checked in any round (registered
+# post-window mid-r3) + corpus_sequence_pack (r3's one hash-red row;
+# the dual's seq_offset::BIGINT cast must be driver-verified).  Then
+# any NEW r4 operators.  Tail: r2 greens, longest-unchecked first,
+# ref_* micro-scalars last (they are additionally gated byte-identical
+# by pytest, so they are the safest to rotate out when slots run out).
 _PRIORITY = [
-    "corpus_quality_funnel",
-    "web_meta_extract",
-    "corpus_snapshot_delta",
-    "corpus_ccnet_buckets",
-    "dedup_semantic",
-    "text_rpv2_signals",
-    "web_anchor_text",
-    "text_bpe_train",
-    "corpus_length_quantiles",
-    "web_robots_filter",
-    "corpus_weighted_sample",
-    "text_bpe_token_count",
-    "web_hits_scores",
-    "web_boilerplate_blocks",
-    "search_bm25_topk",
-    "web_host_prior",
-    "dedup_substring_spans",
-    "text_winnow_fingerprints",
-    "web_crawl_frontier",
-    "text_readability",
-    "dedup_winnow_pairs",
-    "web_url_templates",
-    "corpus_source_overlap",
-    "web_recrawl_priority",
-    "web_sitemap_urls",
-    "dedup_bloom_prefilter",
-    "corpus_url_blocklist",
-    "text_normalize_nfc",
-    "corpus_paragraph_dedup",
-    "extract_html_pipeline",
-    "extract_html_pipeline_desc",
-    "stream_extract_incremental",
-    "stream_dedup_exact",
-    "stream_windowed_counts",
-    "stream_sessionize_stateful",
-    "corpus_domain_cap",
-    "text_unigram_logprob",
-    "text_char_entropy",
-    "corpus_dsir_weights",
-    "corpus_url_dedup",
+    # -- never driver-checked (SURVEY §2.11 rotation plan) --
+    "stream_interval_join",
+    "dedup_cdc_chunks",
+    "corpus_temperature_mix",
+    "search_index_postings",
+    "events_retention_cohorts",
+    "sketch_hll_registers",
+    "sketch_countmin_counts",
+    # -- r3 red cell, fixed this round --
     "corpus_sequence_pack",
-    "corpus_mixture_plan",
-    "corpus_shard_manifest",
-    "corpus_gopher_rules",
-    "corpus_c4_filters",
-    "text_quality_classifier",
-    "web_pagerank",
-    "web_outlink_hostgraph",
-    "source_warc_scan",
-    "sink_wet_roundtrip",
+    # -- new r4 operators --
+    # -- r2 greens, unchecked since round 2 --
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_lsh_verified",
+    "dedup_lsh_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash60",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_kmeans_cells",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf_topk",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "decontaminate_ngram_overlap",
+    "corpus_curation",
+    "corpus_domain_stats",
+    "corpus_stratified_sample",
+    "corpus_window_dedup",
+    "events_sessionize",
+    "events_asof_join",
+    "events_funnel",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "rel_q1_pricing_summary",
+    "rel_q3_top_orders",
+    "rel_orders_rollup",
+    "rel_customer_spend_rank",
+    "rel_events_hourly",
+    "ref_url_normalize",
+    "ref_assemble_pages",
+    "ref_image_context",
+    "ref_title_similarity",
+    "ref_sanitize_bibtex",
+    "ref_bibtex_key",
 ]
 
 

@@ -633,6 +633,17 @@ def main() -> None:
     _wait_probe_quiet(max_wait_s=240.0)
     extract_wall, n_docs = run_extraction(spark, input_path)
     qtimes = run_queries(spark, SF_DIR)
+    # interleaved re-pass (VERDICT r3 #5): run_extraction's two timed
+    # passes are back-to-back, so a single co-tenant burst covers both
+    # and the headline swings up to 7x vs the quiet-window reading.
+    # Fold in extra passes spread across the bench (here, and again
+    # after the skew/streaming sections) — a burst can't span them all.
+    from paper2llm_spark.plans.extract import extract_documents as _extract
+
+    _headline_df = _extract(spark.read.parquet(input_path))
+    t0 = time.monotonic()
+    _headline_df.write.format("noop").mode("overwrite").save()
+    extract_wall = min(extract_wall, time.monotonic() - t0)
     qtimes["extract_pipeline"] = round(extract_wall, 3)
 
     # descriptions branch (VERDICT r01 #7): its extra Arrow-hop cost —
@@ -687,6 +698,12 @@ def main() -> None:
 
     # streaming query costs (VERDICT r02 #7): cold one-shot invocations
     qtimes.update(run_stream_queries(spark, SF_DIR))
+
+    # final interleaved headline pass, ~minutes after the first ones
+    t0 = time.monotonic()
+    _headline_df.write.format("noop").mode("overwrite").save()
+    extract_wall = min(extract_wall, time.monotonic() - t0)
+    qtimes["extract_pipeline"] = round(extract_wall, 3)
     result_skew = {
         "docs": n_skew,
         "docs_per_sec": round(n_skew / skew_wall, 2),
@@ -851,11 +868,18 @@ def main() -> None:
         # remain visible (ADVICE r01); best historical is reported
         # separately as value_best
         result["value_best"] = result["value"]
+        # stamp travels with the best on EVERY path that can raise it
+        # (VERDICT r3 #4: the scaling path once persisted a best with
+        # measured=null, defeating the anti-stale protection)
+        best_meas = prev.get("headline_best_measured") if prev else None
         if prev and prev.get("headline_best", prev.get("headline", 0)) > result["value"]:
             result["value_best"] = prev.get("headline_best", prev.get("headline"))
+        else:
+            best_meas = {"commit": _git_head(), "date": _utc_today()}
         result["scaling"] = {
             "headline": result["value"],
             "headline_best": result["value_best"],
+            "headline_best_measured": best_meas,
             "headline_docs": result["docs"],
             "headline_wall": result["queries"]["extract_pipeline"],
             "n_low": lo, "n_high": hi, "docs": n_docs_scale,
@@ -887,6 +911,27 @@ def main() -> None:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/scaling.json", "w") as f:
             json.dump(result["scaling"], f)
+        # keep the (sf, cpus)-keyed ratchet file in sync so default-mode
+        # runs inherit the stamp, not just the number
+        hpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "headline.json")
+        hkey = f"{result['sf']}-c{result['cpus']}"
+        try:
+            try:
+                with open(hpath) as f:
+                    saved_all = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                saved_all = {}
+            prior = saved_all.get(hkey, {}).get("headline_best", 0)
+            if result["value_best"] >= prior:
+                saved_all[hkey] = {"headline_best": result["value_best"],
+                                   "measured": best_meas}
+                with open(hpath, "w") as f:
+                    json.dump(saved_all, f)
+        except OSError:
+            pass
+        if best_meas:
+            result["value_best_measured"] = best_meas
         _write_bench_md(result)
     else:
         # default (driver per-round) mode: attach the last committed
@@ -906,11 +951,21 @@ def main() -> None:
         s_prev = result.get("scaling", {})
         # the saved scaling headline was measured at the driver's sf —
         # only inherit it when THIS run processed the same corpus
+        # explicit burst flag (VERDICT r3 #5): if even the interleaved
+        # min is >2x the quiet-window scaling reading, the whole bench
+        # ran inside a co-tenant storm — label the row so the number is
+        # read as contaminated, not as a plan regression
+        hw = s_prev.get("headline_wall")
+        ep = result["queries"].get("extract_pipeline")
+        if hw and ep and ep > 2 * hw:
+            result["extract_burst"] = True
         best_known = 0
+        scaling_stamp = None
         if s_prev.get("headline_docs") == result["docs"]:
             best_known = s_prev.get(
                 "headline_best", s_prev.get("headline", 0)
             )
+            scaling_stamp = s_prev.get("headline_best_measured")
         # default-mode runs also contribute to the best-known reading
         # (persisted separately so --scaling state is untouched)
         hpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -930,11 +985,14 @@ def main() -> None:
                     "measured": saved_all.get("measured"),
                 }}
             saved = saved_all.get(hkey, {})
+            # stamp follows whichever source holds the winning best
             if saved.get("headline_best", 0) > (best_known or 0):
                 best_known = saved["headline_best"]
-            best_stamp = saved.get("measured")
+                best_stamp = saved.get("measured")
+            else:
+                best_stamp = scaling_stamp or saved.get("measured")
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
-            pass
+            best_stamp = scaling_stamp
         if result["value"] >= (best_known or 0):
             # this run IS the new best: stamp it so a stale ratchet can
             # never masquerade as current capability (ADVICE r2)

@@ -168,10 +168,15 @@ m{r} AS (
   GROUP BY a, b ORDER BY pc DESC, a, b LIMIT 1
 ),
 w{r} AS (
+  -- LEFT JOIN ON TRUE + coalesce: if the corpus exhausts its pair
+  -- vocabulary before BPE_MERGES rounds, m{r} is empty — a plain
+  -- cross join would empty every later CTE, while the Spark side
+  -- break()s and keeps the current segmentation.  Fall back to the
+  -- previous round's s identically here.
   SELECT w, cnt,
-         replace(s, '{_L}' || a || '{_R}{_L}' || b || '{_R}',
-                 '{_L}' || a || b || '{_R}') AS s
-  FROM w{p}, m{r}
+         coalesce(replace(s, '{_L}' || a || '{_R}{_L}' || b || '{_R}',
+                 '{_L}' || a || b || '{_R}'), s) AS s
+  FROM w{p} LEFT JOIN m{r} ON TRUE
 )"""
         )
     return (

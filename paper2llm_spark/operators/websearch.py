@@ -10,11 +10,20 @@ count T::
     score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
           = idf_micro * tf * 44 * T  DIV  (20*T*tf + 6*T + 18*dl*N)
 
-(avgdl = T/N substituted and cleared), so the only float is the
-ln inside idf — routed through the repo's exact micro-nat convention
-(identical double SHAPE in both engines, then floor(x*1e6+0.5)),
-``idf_micro = ln((2N - 2df + 1) / (2df + 1))`` (the +0.5-smoothed
-Robertson idf with numerator/denominator doubled to stay integral).
+(avgdl = T/N substituted and cleared).  Two floats remain, both
+shape-identical in the two engines: the ln inside idf — routed through
+the repo's exact micro-nat convention (identical double SHAPE, then
+floor(x*1e6+0.5)), ``idf_micro = ln((2N - 2df + 1) / (2df + 1))`` (the
++0.5-smoothed Robertson idf with numerator/denominator doubled to stay
+integral) — and the per-term score itself, which is ``floor()`` of a
+DOUBLE division, not a true integer DIV: the integer products reach
+~1e16-1e17 (> 2^53) so the quotient is double-rounded, identically in
+both engines because the expression shape is identical.  A true
+bigint DIV would remove that rounding but overflows int64 once
+``idf_micro * tf * 44 * T`` passes 9.2e18 (already reachable at
+corpus-scale T), so the double form is the deliberate choice — any
+"cleanup" to integer DIV on one side only would break the cross-engine
+hash.
 
 Plan shape (the scale story):
 

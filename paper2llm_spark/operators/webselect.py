@@ -349,7 +349,7 @@ cum AS (
 )
 SELECT doc_id, shard, n_tokens,
        (cum_before // {CTX_TOKENS})::BIGINT AS seq_idx,
-       cum_before % {CTX_TOKENS} AS seq_offset
+       (cum_before % {CTX_TOKENS})::BIGINT AS seq_offset
 FROM cum
 """
 

@@ -50,9 +50,14 @@ def temperature_mix_frame(docs: DataFrame) -> DataFrame:
         .alias("p_micro"),
         F.expr("cast(1000000 * sqrt_micro div denom as bigint)")
         .alias("q_micro"),
+        # greatest(p_micro, 1): a language with corpus share < 1e-6
+        # floors to p_micro = 0 — Spark div would yield NULL but DuckDB
+        # // raises division-by-zero and aborts the whole oracle.  The
+        # guard (identical both sides) caps the reported boost at
+        # q_micro * 1e6 for such ultra-tail languages.
         F.expr(
             "cast((1000000 * (1000000 * sqrt_micro div denom))"
-            " div (1000000 * n_docs div n_total) as bigint)"
+            " div greatest(1000000 * n_docs div n_total, 1) as bigint)"
         ).alias("boost_micro"),
     )
 
@@ -79,7 +84,7 @@ SELECT lang, n_docs,
        (1000000 * n_docs // n_total)::BIGINT AS p_micro,
        (1000000 * sqrt_micro // denom)::BIGINT AS q_micro,
        ((1000000 * (1000000 * sqrt_micro // denom))
-        // (1000000 * n_docs // n_total))::BIGINT AS boost_micro
+        // greatest(1000000 * n_docs // n_total, 1))::BIGINT AS boost_micro
 FROM c, t
 """
 

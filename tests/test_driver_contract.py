@@ -39,6 +39,50 @@ def _canon(v) -> str:
     return str(v)
 
 
+def _kind(v) -> str | None:
+    """Coarse dtype kind of one value: int vs float vs str vs ... — the
+    driver's hash distinguishes `5` from `5.0`, so the local gate must
+    too (round-3 `corpus_sequence_pack` regression: DuckDB `sum() OVER`
+    → HUGEINT → pandas float64 while Spark emitted bigint; the old
+    `%.10g` canonicalization hid it)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    if isinstance(v, datetime.datetime):  # covers pd.Timestamp
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    return "str"
+
+
+def _col_kinds(rows: list[dict]) -> dict[str, str]:
+    """First non-null kind per column across all rows."""
+    kinds: dict[str, str] = {}
+    for r in rows:
+        for c, v in r.items():
+            if c not in kinds:
+                k = _kind(v)
+                if k is not None:
+                    kinds[c] = k
+    return kinds
+
+
 def _value_hash(rows: list[dict]) -> str:
     if not rows:
         return "EMPTY"
@@ -87,6 +131,15 @@ def test_query_matches_duckdb_oracle(name, spark, duck, registry):
     if spark_rows:
         assert sorted(spark_rows[0].keys()) == sorted(duck_rows[0].keys()), (
             f"{name}: column names differ"
+        )
+        sk, dk = _col_kinds(spark_rows), _col_kinds(duck_rows)
+        mismatched = {
+            c: (sk.get(c), dk.get(c))
+            for c in sk.keys() | dk.keys()
+            if c in sk and c in dk and sk[c] != dk[c]
+        }
+        assert not mismatched, (
+            f"{name}: dtype-kind mismatch (spark, duckdb): {mismatched}"
         )
     sh, dh = _value_hash(spark_rows), _value_hash(duck_rows)
     if sh != dh:
