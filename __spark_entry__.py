@@ -393,6 +393,7 @@ _PRIORITY = [
     # -- r3 red cell, fixed this round --
     "corpus_sequence_pack",
     # -- new r4 operators --
+    "text_lm_perplexity",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -435,7 +436,6 @@ _PRIORITY = [
     "ref_image_context",
     "ref_title_similarity",
     "ref_sanitize_bibtex",
-    "ref_bibtex_key",
 ]
 
 
@@ -474,7 +474,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
-        websearch, webcdc, webcohort, webfrontier, webhost, webindex, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
+        websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
@@ -487,7 +487,7 @@ def _registry() -> dict[str, tuple]:
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
-                   webcdc, webcohort, webfrontier, webhost, webindex, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow):
+                   webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

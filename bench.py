@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_winnow_fingerprints",
     "web_crawl_frontier",
     "text_readability",
+    "text_lm_perplexity",
     "dedup_winnow_pairs",
     "web_url_templates",
     "corpus_source_overlap",
