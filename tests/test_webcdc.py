@@ -9,13 +9,20 @@ SF = "/root/testdata/sf0.001"
 
 
 def _py_cdc(text: str, w: int, m: int):
+    from paper2llm_spark.operators.webcdc import GEAR, SHIFT_CDC
+
     n = len(text)
     if n == 0:
         return []
+
+    def gear_hash(i):  # 1-based end position of the window
+        return sum(
+            GEAR[ord(text[i - 1 - k]) % 256] * (1 << k) for k in range(w)
+        )
+
     cuts = [
         i for i in range(w, n + 1)
-        if int(hashlib.md5(text[i - w:i].encode()).hexdigest()[:15], 16)
-        % m == 0
+        if (gear_hash(i) >> SHIFT_CDC) % m == 0
     ]
     if not (cuts and cuts[-1] == n):
         cuts.append(n)
