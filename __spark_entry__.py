@@ -253,6 +253,46 @@ WHERE epoch_ms(win_end) <= epoch_ms((SELECT max(ts) FROM events)) - 600000
 """
 
 
+def _stream_hll_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window HLL registers under streaming state (SURVEY.md §2.10
+    + §2.11 sketches) as a driver query.  Same single-batch +
+    availableNow-flush drain as the windowed counts: the emitted set is
+    the tumbling register aggregate over windows whose end the final
+    watermark (max(ts) - 10 min) passed — a deterministic integer
+    function of the corpus, so the dual is a REAL value-hash gate."""
+    from paper2llm_spark.streaming.sketch import start_windowed_hll
+
+    in_dir = _stage_events(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"p2l_hll_{_STREAM_SEQ[0]}"
+    q = start_windowed_hll(
+        spark, in_dir, query_name=name, max_files_per_trigger=64
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_HLL_SQL = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+         time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS win_end,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events
+),
+r AS (
+  SELECT win_start, win_end,
+         (hv % 64)::BIGINT AS bucket,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE 55 - length(bin(hv // 64)) END::BIGINT AS rank
+  FROM h
+)
+SELECT win_start, win_end, bucket, max(rank)::BIGINT AS max_rank
+FROM r
+WHERE epoch_ms(win_end) <= epoch_ms((SELECT max(ts) FROM events)) - 600000
+GROUP BY win_start, win_end, bucket
+"""
+
+
 def _stream_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState) as a
     driver query. One data batch + the availableNow flush batch: gap
@@ -394,6 +434,7 @@ _PRIORITY = [
     "corpus_sequence_pack",
     # -- new r4 operators --
     "text_lm_perplexity",
+    "stream_hll_windows",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -435,7 +476,6 @@ _PRIORITY = [
     "ref_assemble_pages",
     "ref_image_context",
     "ref_title_similarity",
-    "ref_sanitize_bibtex",
 ]
 
 
@@ -507,6 +547,9 @@ def _registry() -> dict[str, tuple]:
     )
     merged["stream_interval_join"] = (
         _stream_interval_join_query, _STREAM_INTERVAL_JOIN_SQL,
+    )
+    merged["stream_hll_windows"] = (
+        _stream_hll_query, _STREAM_HLL_SQL,
     )
 
     registry: dict[str, tuple] = {}

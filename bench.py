@@ -338,6 +338,7 @@ STREAM_BENCH_QUERIES = [
     "stream_windowed_counts",
     "stream_sessionize_stateful",
     "stream_interval_join",
+    "stream_hll_windows",
 ]
 
 
