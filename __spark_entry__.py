@@ -435,6 +435,9 @@ _PRIORITY = [
     # -- new r4 operators --
     "text_lm_perplexity",
     "stream_hll_windows",
+    "web_cetr_lines",
+    "web_readability_extract",
+    "web_extract_agreement",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -473,9 +476,6 @@ _PRIORITY = [
     "rel_customer_spend_rank",
     "rel_events_hourly",
     "ref_url_normalize",
-    "ref_assemble_pages",
-    "ref_image_context",
-    "ref_title_similarity",
 ]
 
 
@@ -513,7 +513,8 @@ FROM events v JOIN events c
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webanchor, webboiler, webcorpus, webfilter, webfunnel,
+        sink, textstats, webanchor, webarc90, webboiler, webcetr, webcorpus,
+        webfilter, webfunnel, webvote,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -527,7 +528,8 @@ def _registry() -> dict[str, tuple]:
                    sink, webquality, webgraph, warc, webfilter,
                    webnormalize, webfunnel, webmeta, websnapshot,
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
-                   webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow):
+                   webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
+                   webcetr, webarc90, webvote):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "web_crawl_frontier",
     "text_readability",
     "text_lm_perplexity",
+    "web_cetr_lines",
+    "web_readability_extract",
+    "web_extract_agreement",
     "dedup_winnow_pairs",
     "web_url_templates",
     "corpus_source_overlap",

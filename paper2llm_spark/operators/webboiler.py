@@ -264,33 +264,11 @@ _PARA_SQL = (
     f"t -> '{_PARA_UNIT[0]}' || t || '{_PARA_UNIT[1]}'), ' ') || '</p>'"
 )
 
-BOILER_BLOCKS_SQL = f"""
-WITH d AS (
-  SELECT doc_id, source, {_TOK.format(e="text")} AS tok FROM documents
-),
-r AS (SELECT doc_id, source, tok || tok || tok AS rep FROM d),
-pages AS (
-  SELECT 'https://' || source || '.test/' || doc_id AS url,
-    '<html><head><title>Doc ' || doc_id
-    || '</title><script>var x=1;</script></head><body>'
-    || '{_NAV.replace("'", "''")}'
-    || '<h1>Document ' || doc_id || '</h1>'
-    || '<script>if (x < 2) {{ x = 2; }}</script>'
-    || {_PARA_SQL.format(a=1, b=14)}
-    || CASE WHEN {_sqlh("smid")} % 3 <> 0
-            THEN '{_SHORT_MID}' ELSE '' END
-    || {_PARA_SQL.format(a=15, b=28)}
-    || '<p>the notes of the day for item ' || doc_id
-    || ' and more of it in the list over here today</p>'
-    || '{_SIDEBAR.replace("'", "''")}'
-    || CASE WHEN {_sqlh("ntail")} % 2 = 0
-            THEN '<p>a short recap of the items in this set for '
-                 || doc_id || ' with notes to keep over here</p>'
-            ELSE '' END
-    || '{_FOOTER}'
-    || '</body></html>' AS page
-  FROM r
-),
+def justext_sql(pages_cte: str) -> str:
+    """jusText classification over any (url, page) CTE — ends in a
+    ``just`` CTE with the block rows; reused by the extractor-agreement
+    dual in webvote.py (both extractors must see ONE page set)."""
+    return f"""
 b AS (
   SELECT url,
          unnest(range(1, len(blks) + 1)) AS pos,
@@ -302,7 +280,7 @@ b AS (
                regexp_replace(page, '(?is)<head\\b.*?</head\\s*>', '', 'g'),
                '(?is)<script\\b.*?</script\\s*>', '', 'g'),
              '(?i)</?(?:p|div|h[1-6]|html|body)\\b[^>]*>') AS blks
-    FROM pages)
+    FROM {pages_cte})
 ),
 t AS (
   SELECT url, pos,
@@ -353,18 +331,53 @@ wdw AS (
              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
            'bad') AS n
   FROM s
-)
-SELECT url, block_idx, chars, n_words, stop_words, link_chars, cls,
-       CASE WHEN cls IN ('good', 'bad') THEN cls
-            WHEN cls = 'short'
-            THEN CASE WHEN p = 'good' AND n = 'good'
-                      THEN 'good' ELSE 'bad' END
-            ELSE CASE WHEN p = 'good' OR n = 'good'
-                      THEN 'good' ELSE 'bad' END
-       END AS cls_final,
-       btext
-FROM wdw
+),
+just AS (
+  SELECT url, block_idx, chars, n_words, stop_words, link_chars, cls,
+         CASE WHEN cls IN ('good', 'bad') THEN cls
+              WHEN cls = 'short'
+              THEN CASE WHEN p = 'good' AND n = 'good'
+                        THEN 'good' ELSE 'bad' END
+              ELSE CASE WHEN p = 'good' OR n = 'good'
+                        THEN 'good' ELSE 'bad' END
+         END AS cls_final,
+         btext
+  FROM wdw
+)"""
+
+
+BOILER_BLOCKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK.format(e="text")} AS tok FROM documents
+),
+r AS (SELECT doc_id, source, tok || tok || tok AS rep FROM d),
+pages AS (
+  SELECT 'https://' || source || '.test/' || doc_id AS url,
+    '<html><head><title>Doc ' || doc_id
+    || '</title><script>var x=1;</script></head><body>'
+    || '{_NAV.replace("'", "''")}'
+    || '<h1>Document ' || doc_id || '</h1>'
+    || '<script>if (x < 2) {{ x = 2; }}</script>'
+    || {_PARA_SQL.format(a=1, b=14)}
+    || CASE WHEN {_sqlh("smid")} % 3 <> 0
+            THEN '{_SHORT_MID}' ELSE '' END
+    || {_PARA_SQL.format(a=15, b=28)}
+    || '<p>the notes of the day for item ' || doc_id
+    || ' and more of it in the list over here today</p>'
+    || '{_SIDEBAR.replace("'", "''")}'
+    || CASE WHEN {_sqlh("ntail")} % 2 = 0
+            THEN '<p>a short recap of the items in this set for '
+                 || doc_id || ' with notes to keep over here</p>'
+            ELSE '' END
+    || '{_FOOTER}'
+    || '</body></html>' AS page
+  FROM r
+),
+{{JUSTEXT}}
+SELECT * FROM just
 """
+
+BOILER_BLOCKS_SQL = BOILER_BLOCKS_SQL.replace("{JUSTEXT}", justext_sql("pages"))
 
 
 QUERIES: dict[str, tuple] = {

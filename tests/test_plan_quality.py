@@ -993,3 +993,52 @@ def test_sketches_bounded_partial_agg(spark):
         assert plan.count("HashAggregate") >= 2  # partial + final
         keys = set(_re.findall(r"Exchange hashpartitioning\(([^)#]+)#", plan))
         assert keys == {key}, keys
+
+
+def test_cetr_lines_single_url_exchange(spark):
+    """CETR: synthesis, line split and tag-ratio features are scan-side
+    codegen; the row window, the +-1 smoothing window and the page
+    window all share ONE hashpartitioning on url.  No joins, no
+    Python — the corpus-sized shuffle carries short line rows."""
+    from paper2llm_spark.operators.webcetr import cetr_lines
+
+    plan = _physical(cetr_lines(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(url" in hash_exchanges[0]
+
+
+def test_arc90_single_url_exchange(spark):
+    """Arc90: element extraction, priors and the exact score are all
+    codegen in the scan task; the block-index and top-candidate windows
+    share ONE hashpartitioning on url.  No joins, no Python."""
+    from paper2llm_spark.operators.webarc90 import readability_extract
+
+    plan = _physical(readability_extract(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(url" in hash_exchanges[0]
+
+
+def test_extract_agreement_joins_short_rows_only(spark):
+    """Agreement audit: the only join is the full-outer equi-join of
+    DISTINCT (url, token) short rows — every hash exchange partitions
+    on url (extractor windows, distincts, join, final groupBy); raw
+    page text never rides an exchange.  No Python."""
+    from paper2llm_spark.operators.webvote import extract_agreement
+
+    plan = _physical(extract_agreement(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"url"}, keys
