@@ -438,6 +438,9 @@ _PRIORITY = [
     "web_cetr_lines",
     "web_readability_extract",
     "web_extract_agreement",
+    "web_host_components",
+    "corpus_zipf_profile",
+    "corpus_softdedup_weights",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -473,9 +476,6 @@ _PRIORITY = [
     "rel_q1_pricing_summary",
     "rel_q3_top_orders",
     "rel_orders_rollup",
-    "rel_customer_spend_rank",
-    "rel_events_hourly",
-    "ref_url_normalize",
 ]
 
 
@@ -513,8 +513,9 @@ FROM events v JOIN events c
 def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
-        sink, textstats, webanchor, webarc90, webboiler, webcetr, webcorpus,
-        webfilter, webfunnel, webvote,
+        sink, textstats, webanchor, webarc90, webboiler, webcetr,
+        webcomponents, webcorpus, webfilter, webfunnel, websoft, webvote,
+        webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -529,7 +530,8 @@ def _registry() -> dict[str, tuple]:
                    webnormalize, webfunnel, webmeta, websnapshot,
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
                    webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
-                   webcetr, webarc90, webvote):
+                   webcetr, webarc90, webvote, webcomponents, webzipf,
+                   websoft):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

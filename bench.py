@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "web_cetr_lines",
     "web_readability_extract",
     "web_extract_agreement",
+    "web_host_components",
+    "corpus_zipf_profile",
+    "corpus_softdedup_weights",
     "dedup_winnow_pairs",
     "web_url_templates",
     "corpus_source_overlap",

@@ -1042,3 +1042,61 @@ def test_extract_agreement_joins_short_rows_only(spark):
     import re as _re
     keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert keys == {"url"}, keys
+
+
+def test_zipf_profile_exchange_keys(spark):
+    """Zipf/Heaps: the only corpus-sized exchange is the (lang, term)
+    partial-count groupBy; the rank window and final agg run on the
+    vocabulary-bounded table partitioned by lang.  No joins, no
+    Python."""
+    from paper2llm_spark.operators.webzipf import zipf_profile
+
+    plan = _physical(zipf_profile(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"lang"}, keys
+
+
+def test_softdedup_gram_table_broadcasts(spark):
+    """SoftDeDup: the Heaps-bounded gram-count table re-enters the
+    scoring explode as a BroadcastHashJoin; the G / max-NLL scalars as
+    1-row broadcast nested loops.  Hash exchanges carry only gram
+    partials and (doc_id, sum, count) short rows."""
+    from paper2llm_spark.operators.websoft import softdedup_weights
+
+    plan = _physical(softdedup_weights(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    import re as _re
+    keys = set(_re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"gram", "doc_id"}, keys
+
+
+def test_host_components_edges_single_exchange(spark):
+    """Host components: the corpus-sized stage (anchor extraction ->
+    host-pair counts) is one map-side-combinable groupBy; the CC loop
+    then runs on the |hosts|-bounded graph (localCheckpointed, so it
+    does not appear here).  The final frame stays Python-free."""
+    from paper2llm_spark.operators.webcomponents import (
+        _synth_community_pages, host_components)
+    from paper2llm_spark.operators.webgraph import outlinks_frame
+
+    edges_plan = _physical(
+        outlinks_frame(_synth_community_pages(spark, "/root/testdata/sf0.01"))
+    )
+    assert "Join" not in edges_plan
+    assert "BatchEvalPython" not in edges_plan
+    assert "ArrowEvalPython" not in edges_plan
+    hash_exchanges = [
+        ln for ln in edges_plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(src_host" in hash_exchanges[0]
+
+    full_plan = _physical(host_components(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in full_plan
+    assert "ArrowEvalPython" not in full_plan
