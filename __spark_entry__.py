@@ -441,6 +441,8 @@ _PRIORITY = [
     "web_host_components",
     "corpus_zipf_profile",
     "corpus_softdedup_weights",
+    "web_charset_sniff",
+    "sink_wat_roundtrip",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -474,8 +476,6 @@ _PRIORITY = [
     "mm_binary_meta",
     "mm_frame_sample",
     "rel_q1_pricing_summary",
-    "rel_q3_top_orders",
-    "rel_orders_rollup",
 ]
 
 
@@ -514,8 +514,8 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webarc90, webboiler, webcetr,
-        webcomponents, webcorpus, webfilter, webfunnel, websoft, webvote,
-        webzipf,
+        webcharset, webcomponents, webcorpus, webfilter, webfunnel,
+        websoft, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -531,7 +531,7 @@ def _registry() -> dict[str, tuple]:
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
                    webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
                    webcetr, webarc90, webvote, webcomponents, webzipf,
-                   websoft):
+                   websoft, webcharset):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "web_host_components",
     "corpus_zipf_profile",
     "corpus_softdedup_weights",
+    "web_charset_sniff",
+    "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",
     "corpus_source_overlap",

@@ -126,12 +126,15 @@ WARC_FLUSH_ROWS = 4096
 
 
 def read_warc(
-    spark: SparkSession, path: str, default_lang: str = "en"
+    spark: SparkSession, path: str, default_lang: str = "en",
+    row_types: tuple = _ROW_TYPES,
 ) -> DataFrame:
     """Scan ``.warc`` / ``.warc.gz`` archives into pages-shaped rows.
 
-    Non-content records (warcinfo, request, metadata) are skipped;
-    ``lang`` comes from Common Crawl's language header when present.
+    Records whose ``WARC-Type`` is not in ``row_types`` are skipped
+    (default: content records — warcinfo, request and metadata drop
+    out; pass ``("metadata",)`` to scan WAT archives); ``lang`` comes
+    from Common Crawl's language header when present.
     """
     files = spark.read.format("binaryFile").load(path).select("content", "path")
 
@@ -157,7 +160,7 @@ def read_warc(
                     data = gzip.decompress(data)
                 try:
                     for headers, payload in iter_warc_records(data):
-                        if headers.get("warc-type") not in _ROW_TYPES:
+                        if headers.get("warc-type") not in row_types:
                             continue
                         out["url"].append(headers.get("warc-target-uri", ""))
                         out["warc_ts"].append(
@@ -310,6 +313,31 @@ def write_wet(
     can reach (local fs here; a mounted object store on a cluster —
     the same contract as any Spark file sink).
     """
+    return _write_archives(
+        df, out_dir, rec_type="conversion", name_fmt="wet-{pid:05d}.warc.wet.gz",
+        n_files=n_files,
+    )
+
+
+def write_wat(
+    df: DataFrame, out_dir: str, *, n_files: int = 8
+) -> DataFrame:
+    """Write ``(url, text)`` rows (``text`` holding the per-page JSON
+    metadata envelope) as WAT archives — WARC ``metadata`` records,
+    Common Crawl's link/title sidecar convention.  Same distributed
+    shape, idempotency and manifest contract as :func:`write_wet`;
+    with the WARC reader and WET sink this completes the
+    WARC/WAT/WET container trio."""
+    return _write_archives(
+        df, out_dir, rec_type="metadata", name_fmt="wat-{pid:05d}.warc.wat.gz",
+        n_files=n_files,
+    )
+
+
+def _write_archives(
+    df: DataFrame, out_dir: str, *, rec_type: str, name_fmt: str,
+    n_files: int,
+) -> DataFrame:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -328,13 +356,13 @@ def write_wet(
         for b in batches:
             for url, text in zip(b["url"], b["text"]):
                 recs.append(
-                    warc_record("conversion", url, _WARC_EPOCH, text.encode())
+                    warc_record(rec_type, url, _WARC_EPOCH, text.encode())
                 )
                 n += 1
         if not recs:
             return  # empty partition -> no file, no manifest row
         blob = gzip.compress(b"".join(recs), mtime=0)
-        path = os.path.join(out_dir, f"wet-{pid:05d}.warc.wet.gz")
+        path = os.path.join(out_dir, name_fmt.format(pid=pid))
         with open(path, "wb") as f:
             f.write(blob)
         yield pd.DataFrame(
@@ -382,7 +410,112 @@ FROM documents
 """
 
 
+
+# ---------------------------------------------------------------------------
+# WAT roundtrip (metadata sidecar archives)
+# ---------------------------------------------------------------------------
+
+WAT_LINKS = 4    # synthesized outlinks per page envelope
+WAT_HOSTS = 16   # synthetic target-host universe
+
+
+def _wat_hash60(doc_id_col, k_col):
+    """Portable 60-bit md5 hash of 'doc_id@k' (functions.text contract,
+    inlined to keep sources/ free of an operators/ import)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(doc_id_col.cast("string"), F.lit("@"),
+                           k_col.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def wat_meta_frame(docs: DataFrame) -> DataFrame:
+    """documents -> (url, text) rows where text is the per-page WAT
+    JSON envelope (url, title, outlink list) built by DETERMINISTIC
+    string concatenation — byte-identical in the DuckDB dual, so the
+    archive md5 verifies the whole write -> gzip -> parse path."""
+    doc_id = F.col("doc_id")
+    links = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(WAT_LINKS - 1)),
+            lambda k: F.concat(
+                F.lit("https://h"),
+                (_wat_hash60(doc_id, k) % WAT_HOSTS).cast("string"),
+                F.lit(".test/d/"), doc_id.cast("string"),
+            ),
+        ),
+        '","',
+    )
+    url = F.concat(F.lit("https://docs.test/"), F.col("source"),
+                   F.lit("/"), doc_id.cast("string"))
+    wat = F.concat(
+        F.lit('{"url":"'), url,
+        F.lit('","title":"Doc '), doc_id.cast("string"),
+        F.lit('","links":["'), links, F.lit('"]}'),
+    )
+    return docs.select(url.alias("url"), wat.alias("text"))
+
+
+def wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: corpus -> WAT metadata envelopes -> WAT archives
+    -> read back through the WARC reader (row_types=metadata) -> fields
+    parsed OUT of the JSON payload.  The DuckDB dual rebuilds the same
+    envelope closed-form and recomputes title/md5/length straight off
+    ``documents`` — the gate covers envelope construction, the archive
+    write, gzip framing and the JSON parse bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = os.path.join(tempfile.gettempdir(), f"p2l_wat_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    manifest = write_wat(wat_meta_frame(docs), out_dir)
+    manifest.collect()  # perform the distributed write (manifest is tiny)
+    payload = F.decode(F.col("html"), "UTF-8")
+    return read_warc(spark, out_dir, row_types=("metadata",)).select(
+        "url",
+        F.get_json_object(payload, "$.title").alias("title"),
+        F.json_array_length(
+            F.get_json_object(payload, "$.links")
+        ).cast("bigint").alias("n_links"),
+        F.md5("html").alias("wat_md5"),
+        F.length("html").cast("bigint").alias("wat_len"),
+    )
+
+
+_WAT_LINK_HASH = "(('0x' || substr(md5(doc_id || '@' || k), 1, 15))::BIGINT)"
+
+WAT_ROUNDTRIP_SQL = (
+    """
+WITH j AS (
+  SELECT 'https://docs.test/' || source || '/' || doc_id AS url,
+         doc_id,
+         '{"url":"https://docs.test/' || source || '/' || doc_id
+         || '","title":"Doc ' || doc_id || '","links":["'
+         || (SELECT string_agg('https://h' || """
+    + _WAT_LINK_HASH
+    + """ % """ + str(WAT_HOSTS) + """ || '.test/d/' || doc_id,
+                            '","' ORDER BY k)
+             FROM range(0, """ + str(WAT_LINKS) + """) t(k))
+         || '"]}' AS wat
+  FROM documents
+)
+SELECT url,
+       'Doc ' || doc_id AS title,
+       """ + str(WAT_LINKS) + """::BIGINT AS n_links,
+       md5(wat) AS wat_md5,
+       strlen(wat)::BIGINT AS wat_len
+FROM j
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "source_warc_scan": (warc_scan, WARC_SCAN_SQL),
     "sink_wet_roundtrip": (wet_roundtrip, WET_ROUNDTRIP_SQL),
+    "sink_wat_roundtrip": (wat_roundtrip, WAT_ROUNDTRIP_SQL),
 }

@@ -1100,3 +1100,15 @@ def test_host_components_edges_single_exchange(spark):
     full_plan = _physical(host_components(spark, "/root/testdata/sf0.01"))
     assert "BatchEvalPython" not in full_plan
     assert "ArrowEvalPython" not in full_plan
+
+
+def test_charset_sniff_zero_exchange(spark):
+    """Charset sniff: the whole operator (synthesis, byte/char counts,
+    BOM check, meta pull, precedence CASE) is one codegen projection in
+    the scan task — zero exchanges, zero joins, zero Python."""
+    from paper2llm_spark.operators.webcharset import charset_sniff
+
+    plan = _physical(charset_sniff(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan

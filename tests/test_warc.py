@@ -156,3 +156,43 @@ def test_wet_sink_deterministic_and_complete(spark, tmp_path):
     assert {r["url"]: bytes(r["html"]).decode() for r in back} == {
         f"https://a.test/{i}": f"text body {i}" for i in range(20)
     }
+
+
+def test_wat_sink_metadata_records_and_filter(spark, tmp_path):
+    """WAT archives hold WARC `metadata` records: the default reader
+    (content types) must skip them entirely, the metadata-typed scan
+    must recover every envelope byte-for-byte; two writes are
+    byte-identical."""
+    from paper2llm_spark.sources.warc import read_warc, write_wat
+
+    meta = spark.createDataFrame(
+        [(f"https://a.test/{i}", '{"url":"u","links":[]}') for i in range(12)],
+        "url string, text string",
+    )
+    d1, d2 = str(tmp_path / "wat1"), str(tmp_path / "wat2")
+    m1 = write_wat(meta, d1, n_files=3).collect()
+    m2 = write_wat(meta, d2, n_files=3).collect()
+    assert sum(r["n_records"] for r in m1) == 12
+    bytes1 = {r["path"].split("/")[-1]: open(r["path"], "rb").read() for r in m1}
+    bytes2 = {r["path"].split("/")[-1]: open(r["path"], "rb").read() for r in m2}
+    assert bytes1 == bytes2
+    assert all(name.endswith(".warc.wat.gz") for name in bytes1)
+    # default (content) scan skips metadata records entirely
+    assert read_warc(spark, d1).count() == 0
+    back = read_warc(spark, d1, row_types=("metadata",)).collect()
+    assert len(back) == 12
+    assert all(bytes(r["html"]).decode() == '{"url":"u","links":[]}'
+               for r in back)
+
+
+def test_wat_envelope_fields_parse_back(spark):
+    """The synthesized WAT envelope round-trips through archive bytes
+    into parsed title/link fields for every document."""
+    import __spark_entry__ as entry_mod
+
+    from paper2llm_spark.sources.warc import WAT_LINKS, wat_roundtrip
+
+    rows = wat_roundtrip(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(r["n_links"] == WAT_LINKS for r in rows)
+    assert all(r["title"].startswith("Doc ") for r in rows)
