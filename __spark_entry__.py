@@ -293,6 +293,41 @@ GROUP BY win_start, win_end, bucket
 """
 
 
+def _stream_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window Count-Min counters under streaming state — the
+    heavy-hitter half of the sketch-under-state pair (stream_hll does
+    distincts).  Counter contents are integer md5 bucket SUMS, so the
+    drained availableNow run equals the batch aggregate bit-for-bit
+    and the dual is a REAL value-hash gate (same drain + final
+    watermark contract as the HLL registers)."""
+    from paper2llm_spark.streaming.sketch import start_windowed_cms
+
+    in_dir = _stage_events(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    name = f"p2l_cms_{_STREAM_SEQ[0]}"
+    q = start_windowed_cms(
+        spark, in_dir, query_name=name, max_files_per_trigger=64
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_CMS_SQL = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+         time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS win_end,
+         j::BIGINT AS row_idx,
+         ((('0x' || substr(md5('cms' || j || ':' || user_id), 1, 15))::BIGINT)
+          % 64)::BIGINT AS bucket
+  FROM events, range(0, 4) t(j)
+)
+SELECT win_start, win_end, row_idx, bucket, count(*)::BIGINT AS cnt
+FROM h
+WHERE epoch_ms(win_end) <= epoch_ms((SELECT max(ts) FROM events)) - 600000
+GROUP BY win_start, win_end, row_idx, bucket
+"""
+
+
 def _stream_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState) as a
     driver query. One data batch + the availableNow flush batch: gap
@@ -443,6 +478,7 @@ _PRIORITY = [
     "corpus_softdedup_weights",
     "web_charset_sniff",
     "sink_wat_roundtrip",
+    "stream_cms_windows",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -475,7 +511,6 @@ _PRIORITY = [
     "events_funnel",
     "mm_binary_meta",
     "mm_frame_sample",
-    "rel_q1_pricing_summary",
 ]
 
 
@@ -554,6 +589,9 @@ def _registry() -> dict[str, tuple]:
     )
     merged["stream_hll_windows"] = (
         _stream_hll_query, _STREAM_HLL_SQL,
+    )
+    merged["stream_cms_windows"] = (
+        _stream_cms_query, _STREAM_CMS_SQL,
     )
 
     registry: dict[str, tuple] = {}

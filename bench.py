@@ -347,6 +347,7 @@ STREAM_BENCH_QUERIES = [
     "stream_sessionize_stateful",
     "stream_interval_join",
     "stream_hll_windows",
+    "stream_cms_windows",
 ]
 
 

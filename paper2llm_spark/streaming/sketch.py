@@ -115,3 +115,101 @@ def hll_estimate(max_ranks: list[int], m: int = HLL_STREAM_M) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Count-Min counters under streaming state (heavy-hitter shape)
+# ---------------------------------------------------------------------------
+
+CMS_STREAM_D = 4   # depth (independent hash rows)
+CMS_STREAM_W = 64  # width; state per window = d*w = 256 bigint rows
+
+# Count-Min is the OTHER half of the sketch-under-state pair: counters
+# merge by SUM per (row, bucket) — associative, bounded — so per-window
+# heavy-hitter queries ("which users dominate this 5-minute window")
+# never hold a per-user count table in state.  Counter contents are
+# pure integer md5 bucket sums (the websketch.py seeding discipline),
+# so the drained availableNow run equals the batch aggregate
+# bit-for-bit and the DuckDB dual is a REAL value-hash gate; the
+# estimator (min over d rows, never under-counts, over-count bounded
+# by e/w per row) stays driver-side in the tests.
+
+
+def windowed_cms_counters(
+    events: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window Count-Min counters over user_id.
+
+    Works on a streaming OR batch frame (watermark is a no-op in
+    batch — the testable-dual trick used across the package)."""
+    base = events.withWatermark("ts", watermark).select(
+        "ts", F.col("user_id").cast("string").alias("k")
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).cast("bigint").alias("row_idx"),
+            (
+                portable_hash60(F.concat(F.lit(f"cms{j}:"), F.col("k")))
+                % CMS_STREAM_W
+            ).cast("bigint").alias("bucket"),
+        )
+        for j in range(CMS_STREAM_D)
+    ])
+    r = base.select("ts", F.explode(pairs).alias("p")).select(
+        "ts", "p.row_idx", "p.bucket"
+    )
+    agg = r.groupBy(F.window("ts", window), "row_idx", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("win_end"),
+        "row_idx",
+        "bucket",
+        "cnt",
+    )
+
+
+def start_windowed_cms(
+    spark,
+    input_dir: str,
+    *,
+    query_name: str = "windowed_cms",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 64,
+):
+    """File-source stream -> watermarked per-window CMS counters ->
+    in-memory append sink."""
+    from .windows import EVENTS_SCHEMA
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    out = windowed_cms_counters(src, window=window, watermark=watermark)
+    return (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_estimate(counters: dict, key: str, w: int = CMS_STREAM_W,
+                 d: int = CMS_STREAM_D) -> int:
+    """Driver-side point query: min over the d row counters for key.
+    ``counters`` maps (row_idx, bucket) -> cnt; absent cells are 0."""
+    import hashlib
+
+    est = None
+    for j in range(d):
+        h = int(hashlib.md5(f"cms{j}:{key}".encode()).hexdigest()[:15], 16)
+        c = counters.get((j, h % w), 0)
+        est = c if est is None else min(est, c)
+    return est or 0
