@@ -93,34 +93,56 @@ def _bucket_fragments(out_path: str, bucket: int) -> list[str]:
         return []
 
 
-def compact_bucket(spark: SparkSession, out_path: str, bucket: int) -> bool:
-    """Rewrite one state bucket's fragments as a single parquet file.
+def compact_buckets(
+    spark: SparkSession, out_path: str, buckets: list[int]
+) -> list[int]:
+    """Rewrite every over-fragmented bucket in ``buckets`` as a single
+    parquet file each — in ONE Spark job for all of them.
 
     Runs on the driver between micro-batches (foreachBatch is the sole
-    writer, so no concurrent reader sees the swap).  The swap is
-    two renames: part_dir -> .old, compacted -> part_dir; a crash in
+    writer, so no concurrent reader sees the swap).  All flagged
+    buckets are read through one partition-pruned scan, clustered by
+    ``repartition("state_bucket")`` so each bucket lands in one output
+    file, and written to a tmp root; the swap is then two renames per
+    bucket: part_dir -> .old, compacted -> part_dir.  A crash in
     between leaves the data intact in ``.old`` (recovery = rename it
     back), which is the honest durability story for a filesystem sink —
     a production deployment gets the atomic version for free from
     Delta/Iceberg OPTIMIZE.  Local-FS listing here; on HDFS/S3 the same
     calls go through the Hadoop FileSystem API.
+
+    The one-job form matters: a per-bucket loop costs one Spark job per
+    bucket per trigger (64 sequential tiny jobs = tens of seconds of
+    pure scheduling, measured), while this is O(1) jobs per trigger no
+    matter how many buckets crossed the threshold.
     """
     import shutil
 
-    if len(_bucket_fragments(out_path, bucket)) <= COMPACT_FILE_THRESHOLD:
-        return False
-    part_dir = os.path.join(out_path, f"state_bucket={bucket}")
-    tmp = part_dir + ".compact_tmp"
-    old = part_dir + ".compact_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    # reading the partition dir directly yields only the data columns,
-    # exactly the layout the partition dir must contain when swapped back
-    spark.read.parquet(part_dir).coalesce(1).write.parquet(tmp)
-    os.rename(part_dir, old)
-    os.rename(tmp, part_dir)
-    shutil.rmtree(old)
-    return True
+    flagged = [
+        b
+        for b in buckets
+        if len(_bucket_fragments(out_path, b)) > COMPACT_FILE_THRESHOLD
+    ]
+    if not flagged:
+        return []
+    tmp_root = out_path + ".compact_tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    (
+        spark.read.parquet(out_path)
+        .filter(F.col("state_bucket").isin(flagged))
+        .repartition("state_bucket")
+        .write.partitionBy("state_bucket")
+        .parquet(tmp_root)
+    )
+    for b in flagged:
+        part_dir = os.path.join(out_path, f"state_bucket={b}")
+        old = part_dir + ".compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(part_dir, old)
+        os.rename(os.path.join(tmp_root, f"state_bucket={b}"), part_dir)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp_root)
+    return flagged
 
 
 def incremental_exact_dedup(
@@ -167,12 +189,16 @@ def incremental_exact_dedup(
                 )
             else:
                 fresh_out = fresh
-            fresh_out.write.mode("append").partitionBy("state_bucket").parquet(
-                out_path
-            )
+            # cluster by the sink's partition column first so each
+            # touched bucket gains exactly ONE fragment per micro-batch
+            # (unclustered, every shuffle task writes its own file into
+            # every bucket dir it has keys for: tasks × buckets small
+            # files per wave — the classic partitioned-write mistake)
+            fresh_out.repartition("state_bucket").write.mode(
+                "append"
+            ).partitionBy("state_bucket").parquet(out_path)
             # bound fragment growth on the buckets this batch touched
-            for b in buckets:
-                compact_bucket(spark, out_path, b)
+            compact_buckets(spark, out_path, buckets)
         finally:
             fresh.unpersist()
 
