@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_readability",
     "text_lm_perplexity",
     "web_cetr_lines",
+    "web_bte_extract",
     "web_readability_extract",
     "web_extract_agreement",
     "web_host_components",

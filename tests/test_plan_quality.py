@@ -1112,3 +1112,22 @@ def test_charset_sniff_zero_exchange(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bte_single_url_exchange_shared_by_all_stages(spark):
+    """BTE: synthesis, tokenization and the sign column are scan-side
+    codegen; the prefix-sum window, running-min window, page argmax
+    window AND the final per-url groupBy all share ONE
+    hashpartitioning on url.  No joins, no Python — Kadane distributes
+    as windows over short token rows."""
+    from paper2llm_spark.operators.webbte import bte_extract
+
+    plan = _physical(bte_extract(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(url" in hash_exchanges[0]

@@ -152,3 +152,73 @@ def test_agreement_corpus_not_vacuous(spark):
     jac = [r.jaccard_micro for r in rows]
     assert all(0 < j < 1_000_000 for j in jac)
     assert min(jac) < max(jac), "vacuous: constant agreement"
+
+
+def _bte(spark, page: str):
+    from paper2llm_spark.operators.webbte import bte_extract_frame
+
+    df = spark.createDataFrame(
+        [("u", page.encode())], "url string, html binary"
+    )
+    (row,) = bte_extract_frame(df).collect()
+    return row
+
+
+def test_bte_kadane_replay_by_hand(spark):
+    """Token signs: <div>=-1 home=+1 </div>=-1 one..five=+5 <a..>=-1
+    x=+1 </a>=-1.  Score-5 spans tie (2..8, 4..8, 2..10); the
+    deterministic tie-break is smallest END then the EARLIEST argmin
+    prefix, so the leftmost-longest span 2..8 wins."""
+    row = _bte(
+        spark,
+        '<div>home</div> one two three four five <a href="/">x</a>',
+    )
+    assert row.n_tokens == 11
+    assert row.n_tags == 4
+    assert (row.span_start, row.span_end, row.score) == (2, 8, 5)
+    assert row.body_text == "home one two three four five"
+    assert row.n_body_words == 6
+
+
+def test_bte_leftmost_span_on_ties(spark):
+    """Two equal-scoring word runs separated by a deep-negative tag
+    wall: the deterministic tie-break keeps the EARLIEST span."""
+    row = _bte(
+        spark,
+        "alpha beta <i></i><i></i><i></i><i></i> gamma delta",
+    )
+    assert (row.span_start, row.span_end) == (1, 2)
+    assert row.body_text == "alpha beta"
+    assert row.score == 2
+
+
+def test_bte_span_crosses_cheap_tags(spark):
+    """A single tag between word runs is worth crossing (+2-1+2 > +2):
+    the span swallows the <b> pair, body text skips the tags."""
+    row = _bte(spark, "one two <b>bold</b> three four")
+    assert (row.span_start, row.span_end) == (1, 7)
+    assert row.body_text == "one two bold three four"
+    assert row.score == 5 - 2  # 5 words - 2 tags
+
+
+def test_bte_script_blocks_stripped(spark):
+    row = _bte(
+        spark,
+        "<script>var spam = 'w w w w w w';</script>real words here",
+    )
+    assert row.body_text == "real words here"
+    assert row.n_tags == 0
+
+
+def test_bte_corpus_excludes_chrome_keeps_paragraphs(spark):
+    """On the synthesized corpus every recovered body contains the
+    paragraph stopword wrap but never the nav/footer chrome."""
+    from paper2llm_spark.operators.webbte import bte_extract
+
+    rows = bte_extract(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert "with the" in r.body_text
+        assert "Home" not in r.body_text
+        assert "copyright" not in r.body_text
+        assert 0 < r.n_body_words < r.n_tokens
