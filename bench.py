@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "text_lm_perplexity",
     "web_cetr_lines",
     "web_bte_extract",
+    "web_boilerpipe_blocks",
     "web_readability_extract",
     "web_extract_agreement",
     "web_host_components",

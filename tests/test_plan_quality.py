@@ -1131,3 +1131,21 @@ def test_bte_single_url_exchange_shared_by_all_stages(spark):
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "hashpartitioning(url" in hash_exchanges[0]
+
+
+def test_boilerpipe_single_url_exchange(spark):
+    """Boilerpipe: synthesis, block split and the word/anchor-word
+    counts are scan-side codegen; the block-index window and the
+    lag/lead context features share ONE hashpartitioning on url.  No
+    joins, no Python."""
+    from paper2llm_spark.operators.webpipe import pipe_blocks
+
+    plan = _physical(pipe_blocks(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(url" in hash_exchanges[0]

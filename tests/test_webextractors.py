@@ -222,3 +222,74 @@ def test_bte_corpus_excludes_chrome_keeps_paragraphs(spark):
         assert "Home" not in r.body_text
         assert "copyright" not in r.body_text
         assert 0 < r.n_body_words < r.n_tokens
+
+
+def _pipe(spark, page: str):
+    from paper2llm_spark.operators.webpipe import pipe_blocks_frame
+
+    df = spark.createDataFrame(
+        [("u", page.encode())], "url string, html binary"
+    )
+    return pipe_blocks_frame(df).orderBy("block_idx").collect()
+
+
+def test_boilerpipe_link_density_kill(spark):
+    """A block whose anchor words exceed a third of its words is
+    boilerplate regardless of context."""
+    rows = _pipe(
+        spark,
+        '<div><a href="/">one two</a> three four five</div>'
+        f"<p>{LONG_TEXT}</p>",
+    )
+    assert rows[0].n_words == 5 and rows[0].link_words == 2
+    assert rows[0].ld_micro == 400_000
+    assert rows[0].is_content == 0
+
+
+def test_boilerpipe_tree_leaves_by_hand(spark):
+    """Replay the published NumWordsRulesClassifier on a handcrafted
+    block sequence: all-link nav (kill), 70-word lead after it
+    (high-prev-ld, words>40 -> content), 4-word footer after an
+    all-link sidebar (high-prev-ld, small -> boiler), 2-word closer
+    after the 4-word footer (low branch, prev<=4 -> boiler)."""
+    para = "w" + " w" * 69  # 70 words, no links
+    rows = _pipe(
+        spark,
+        '<div><a href="/">Home About Contact</a></div>'
+        f"<p>{para}</p>"
+        '<div><a href="/x">related more links</a></div>'
+        "<div>copyright 2024 example corp</div>"
+        "<p>fin now</p>",
+    )
+    flags = [(r.n_words, r.is_content) for r in rows]
+    assert flags == [(3, 0), (70, 1), (3, 0), (4, 0), (2, 0)]
+
+
+def test_boilerpipe_neighbour_promotions(spark):
+    """Low-prev-ld branch: a small block is content iff next>15 or
+    prev>4 — both promotion arms and the no-promotion arm."""
+    para = "w" + " w" * 69
+    rows = _pipe(
+        spark,
+        "<p>short heading here</p>"     # prev none(0), next 70>15 -> 1
+        f"<p>{para}</p>"                # 70>16 -> content
+        "<p>small trailer block</p>"    # prev 70>4 -> content
+        "<p>x</p>"                      # prev 3<=4, next 0 -> boiler
+    )
+    assert [r.is_content for r in rows] == [1, 1, 1, 0]
+
+
+def test_boilerpipe_corpus_every_leaf_fires(spark):
+    """On the synthesized corpus all five (is_content, kill, prev-high)
+    combinations appear — the gate discriminates on every tree path."""
+    from paper2llm_spark.operators.webpipe import pipe_blocks
+
+    rows = pipe_blocks(spark, SF).collect()
+    combos = {
+        (r.is_content, r.ld_micro > 333_333, r.prev_ld_micro > 555_556)
+        for r in rows
+    }
+    assert combos == {
+        (0, True, False), (1, False, True), (1, False, False),
+        (0, False, True), (0, False, False),
+    }
