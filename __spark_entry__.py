@@ -481,6 +481,7 @@ _PRIORITY = [
     "stream_cms_windows",
     "web_bte_extract",
     "web_boilerpipe_blocks",
+    "web_date_extract",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -510,7 +511,6 @@ _PRIORITY = [
     "corpus_window_dedup",
     "events_sessionize",
     "events_asof_join",
-    "events_funnel",
 ]
 
 
@@ -549,7 +549,7 @@ def _registry() -> dict[str, tuple]:
     from paper2llm_spark.operators import (
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webarc90, webboiler, webbte, webcetr,
-        webpipe,
+        webdate, webpipe,
         webcharset, webcomponents, webcorpus, webfilter, webfunnel,
         websoft, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
@@ -567,7 +567,7 @@ def _registry() -> dict[str, tuple]:
                    webrpv2, webanchor, bpe, webrobots, webboiler, websearch,
                    webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
                    webcetr, webarc90, webvote, webcomponents, webzipf,
-                   websoft, webcharset, webbte, webpipe):
+                   websoft, webcharset, webbte, webpipe, webdate):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_zipf_profile",
     "corpus_softdedup_weights",
     "web_charset_sniff",
+    "web_date_extract",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

@@ -1149,3 +1149,16 @@ def test_boilerpipe_single_url_exchange(spark):
     ]
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "hashpartitioning(url" in hash_exchanges[0]
+
+
+def test_date_extract_zero_exchange_projection(spark):
+    """htmldate cascade: synthesis, regexp pulls, validity CASE and the
+    precedence coalesce are ONE codegen projection in the scan task —
+    no hash exchange (the round-robin input spread is the only
+    movement), no joins, no Python."""
+    from paper2llm_spark.operators.webdate import date_extract
+
+    plan = _physical(date_extract(spark, "/root/testdata/sf0.01"))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
