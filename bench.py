@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "corpus_softdedup_weights",
     "web_charset_sniff",
     "web_date_extract",
+    "web_cdx_index",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

@@ -1162,3 +1162,27 @@ def test_date_extract_zero_exchange_projection(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdx_index_two_exchanges_no_joins(spark):
+    """CDX index build: SURT canonicalization is scan-side codegen; the
+    only corpus-sized exchange is the map-side-combinable
+    groupBy(surt, digest) of short rows; the shard-rank window
+    exchanges the already-collapsed index entries.  No joins, no
+    Python, scan pruned to the 3 needed columns."""
+    from paper2llm_spark.operators.webcdx import cdx_index
+
+    plan = _physical(cdx_index(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 2, hash_exchanges
+    keys = {ln.split("hashpartitioning(")[1].split("#")[0]
+            for ln in hash_exchanges}
+    assert keys == {"surt", "shard"}, hash_exchanges
+    # partial min/count run BEFORE the corpus exchange (map-side combine)
+    assert "partial_count" in plan and "partial_min" in plan
