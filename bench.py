@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "web_charset_sniff",
     "web_date_extract",
     "web_cdx_index",
+    "web_extract_cascade",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

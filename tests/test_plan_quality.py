@@ -1186,3 +1186,22 @@ def test_cdx_index_two_exchanges_no_joins(spark):
     assert keys == {"surt", "shard"}, hash_exchanges
     # partial min/count run BEFORE the corpus exchange (map-side combine)
     assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_cascade_url_exchanges_no_python(spark):
+    """Cascade: three pruned scans (one per arm — trafilatura's own
+    per-document cost), every hash exchange keyed on url (classifier
+    windows + arm joins), join strategy left to Catalyst stats, no
+    Python anywhere."""
+    from paper2llm_spark.operators.webcascade import extract_cascade
+
+    plan = _physical(extract_cascade(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = {
+        ln.split("hashpartitioning(")[1].split("#")[0]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert keys == {"url"}, keys
+    # the documents scan is pruned to the synth inputs
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
