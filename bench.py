@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "web_date_extract",
     "web_cdx_index",
     "web_extract_cascade",
+    "text_ocr_garbage",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

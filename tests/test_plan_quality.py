@@ -1205,3 +1205,15 @@ def test_cascade_url_exchanges_no_python(spark):
     assert keys == {"url"}, keys
     # the documents scan is pruned to the synth inputs
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_ocr_garbage_zero_exchange_projection(spark):
+    """Rmgarbage: noise synthesis, token split and all six rule counts
+    are ONE codegen projection over a staged token array in the scan
+    task — no hash exchange, no joins, no Python."""
+    from paper2llm_spark.operators.webgarbage import ocr_garbage
+
+    plan = _physical(ocr_garbage(spark, "/root/testdata/sf0.01"))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
