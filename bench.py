@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "web_cdx_index",
     "web_extract_cascade",
     "text_ocr_garbage",
+    "web_trustrank",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

@@ -1217,3 +1217,17 @@ def test_ocr_garbage_zero_exchange_projection(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trustrank_no_driver_collect_no_python(spark):
+    """TrustRank: both vector iterations ride the once-checkpointed
+    edge table; total-mass normalization re-enters as a 1-row
+    broadcast crossJoin (BroadcastNestedLoopJoin over one row, the
+    HITS pattern), never a driver collect; no Python."""
+    from paper2llm_spark.operators.webtrust import trustrank
+
+    plan = _physical(trustrank(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every per-round agg keeps its map-side partial phase
+    assert "partial_sum" in plan
