@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "web_extract_cascade",
     "text_ocr_garbage",
     "web_trustrank",
+    "web_cdx_lookup",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

@@ -207,8 +207,10 @@ _SURT_SQL = """
 """
 
 
-CDX_INDEX_SQL = f"""
-WITH caps AS (
+def cdx_sql() -> str:
+    """CDX index build as a CTE chain ending in ``cdx`` — reused by the
+    lookup dual in ``webcdxlookup.py`` (both sides must see ONE index)."""
+    return f"""caps AS (
   SELECT u.url AS url, u.ts AS ts, md5(text) AS digest
   FROM documents,
        unnest([
@@ -240,14 +242,18 @@ entries AS (
          ({sql_hash60("surt")} % {N_SHARDS})::BIGINT AS shard
   FROM keyed
   GROUP BY surt, digest
-)
-SELECT surt, digest, n_captures, first_ts, shard,
-       row_number() OVER (PARTITION BY shard
-                          ORDER BY surt, digest)::BIGINT
-         AS idx_in_shard,
-       sample_url
-FROM entries
-"""
+),
+cdx AS (
+  SELECT surt, digest, n_captures, first_ts, shard,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY surt, digest)::BIGINT
+           AS idx_in_shard,
+         sample_url
+  FROM entries
+)"""
+
+
+CDX_INDEX_SQL = "WITH " + cdx_sql() + "\nSELECT * FROM cdx"
 
 
 QUERIES: dict[str, tuple] = {

@@ -1231,3 +1231,23 @@ def test_trustrank_no_driver_collect_no_python(spark):
     assert "CartesianProduct" not in plan
     # every per-round agg keeps its map-side partial phase
     assert "partial_sum" in plan
+
+
+def test_cdx_lookup_index_never_reshuffles(spark):
+    """Lookup: the query batch broadcasts onto the streaming index; the
+    only corpus-sized exchange is the index's own revisit collapse
+    (surt), the hit aggregation exchanges query-sized rows, and the
+    unused shard-rank window is PRUNED by Catalyst (no shard
+    exchange — column pruning reached through the join); no Python."""
+    from paper2llm_spark.operators.webcdxlookup import cdx_lookup
+
+    plan = _physical(cdx_lookup(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = {
+        ln.split("hashpartitioning(")[1].split("#")[0]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert keys == {"surt", "query_url"}, keys
+    assert "Window" not in plan  # idx_in_shard unused -> window pruned
+    assert "BroadcastHashJoin" in plan
