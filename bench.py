@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_ocr_garbage",
     "web_trustrank",
     "web_cdx_lookup",
+    "web_harmonic_centrality",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

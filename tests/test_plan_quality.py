@@ -1251,3 +1251,15 @@ def test_cdx_lookup_index_never_reshuffles(spark):
     assert keys == {"surt", "query_url"}, keys
     assert "Window" not in plan  # idx_in_shard unused -> window pruned
     assert "BroadcastHashJoin" in plan
+
+
+def test_hyperball_state_rows_are_short_no_python(spark):
+    """HyperBall: every per-round merge is a map-side-combinable
+    groupBy(node, bucket) of (node, bucket, rho) short rows; the final
+    assembly joins (node, bigint) tables; no Python, no cartesian."""
+    from paper2llm_spark.operators.webharmonic import harmonic_centrality
+
+    plan = _physical(harmonic_centrality(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan  # register merges keep map-side combine
