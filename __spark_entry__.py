@@ -488,6 +488,7 @@ _PRIORITY = [
     "web_trustrank",
     "web_cdx_lookup",
     "web_harmonic_centrality",
+    "corpus_datasheet",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -510,7 +511,6 @@ _PRIORITY = [
     "text_tfidf_topk",
     "text_pii_scrub",
     "text_repetition_stats",
-    "decontaminate_ngram_overlap",
 ]
 
 
@@ -550,7 +550,7 @@ def _registry() -> dict[str, tuple]:
         bpe, curation, dedup, multimodal, refscalars, relational, similarity,
         sink, textstats, webanchor, webarc90, webboiler, webbte, webcetr,
         webdate, webpipe,
-        webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
+        webcard, webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
         websoft, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
@@ -568,7 +568,7 @@ def _registry() -> dict[str, tuple]:
                    webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
                    webcetr, webarc90, webvote, webcomponents, webzipf,
                    websoft, webcharset, webbte, webpipe, webdate,
-                   webcascade, webcdx, webcdxlookup, webgarbage, webharmonic, webtrust):
+                   webcard, webcascade, webcdx, webcdxlookup, webgarbage, webharmonic, webtrust):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "web_trustrank",
     "web_cdx_lookup",
     "web_harmonic_centrality",
+    "corpus_datasheet",
     "sink_wat_roundtrip",
     "dedup_winnow_pairs",
     "web_url_templates",

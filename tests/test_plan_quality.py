@@ -1263,3 +1263,21 @@ def test_hyperball_state_rows_are_short_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_max" in plan  # register merges keep map-side combine
+
+
+def test_datasheet_single_corpus_exchange(spark):
+    """Datasheet: digest/token/char are scan-side; the corpus exchanges
+    only through the (source, lang) cell aggregation (plus Spark's
+    two-phase count-distinct expansion on the same keys); the
+    per-source roll-up re-enters by broadcast; no Python."""
+    from paper2llm_spark.operators.webcard import corpus_datasheet
+
+    plan = _physical(corpus_datasheet(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    keys = {
+        ln.split("hashpartitioning(")[1].split(",")[0].split("#")[0]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert keys == {"source"}, keys  # source(+lang) cell agg only
