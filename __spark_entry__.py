@@ -504,13 +504,13 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_kmeans_cells",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_tfidf_topk",
+    "text_lexical_diversity",
+    "text_sentence_stats",
+    "corpus_unimax_alloc",
+    "dedup_cluster_keep_best",
+    "web_link_reciprocity",
     "text_pii_scrub",
-    "text_repetition_stats",
+    "web_salsa_scores",
 ]
 
 
@@ -551,7 +551,8 @@ def _registry() -> dict[str, tuple]:
         sink, textstats, webanchor, webarc90, webboiler, webbte, webcetr,
         webdate, webpipe,
         webcard, webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
-        websoft, webvote, webzipf,
+        webkeep, weblexdiv, webrecip, websalsa, websentence, websoft,
+        webunimax, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -568,7 +569,8 @@ def _registry() -> dict[str, tuple]:
                    webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
                    webcetr, webarc90, webvote, webcomponents, webzipf,
                    websoft, webcharset, webbte, webpipe, webdate,
-                   webcard, webcascade, webcdx, webcdxlookup, webgarbage, webharmonic, webtrust):
+                   webcard, webcascade, webcdx, webcdxlookup, webgarbage, webharmonic, webtrust, websalsa,
+                   weblexdiv, websentence, webunimax, webkeep, webrecip):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "web_extract_cascade",
     "text_ocr_garbage",
     "web_trustrank",
+    "web_salsa_scores",
+    "web_link_reciprocity",
+    "text_lexical_diversity",
+    "text_sentence_stats",
+    "corpus_unimax_alloc",
+    "dedup_cluster_keep_best",
     "web_cdx_lookup",
     "web_harmonic_centrality",
     "corpus_datasheet",
