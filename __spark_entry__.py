@@ -502,14 +502,14 @@ _PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_kmeans_cells",
+    "corpus_source_entropy",
+    "corpus_filter_agreement",
     "text_lexical_diversity",
     "text_sentence_stats",
     "corpus_unimax_alloc",
     "dedup_cluster_keep_best",
     "web_link_reciprocity",
-    "text_pii_scrub",
+    "mm_image_dhash",
     "web_salsa_scores",
 ]
 
@@ -551,8 +551,8 @@ def _registry() -> dict[str, tuple]:
         sink, textstats, webanchor, webarc90, webboiler, webbte, webcetr,
         webdate, webpipe,
         webcard, webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
-        webkeep, weblexdiv, webrecip, websalsa, websentence, websoft,
-        webunimax, webvote, webzipf,
+        webagree, webdiversity, webkeep, weblexdiv, webrecip, websalsa,
+        websentence, websoft, webunimax, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -570,7 +570,8 @@ def _registry() -> dict[str, tuple]:
                    webcetr, webarc90, webvote, webcomponents, webzipf,
                    websoft, webcharset, webbte, webpipe, webdate,
                    webcard, webcascade, webcdx, webcdxlookup, webgarbage, webharmonic, webtrust, websalsa,
-                   weblexdiv, websentence, webunimax, webkeep, webrecip):
+                   weblexdiv, websentence, webunimax, webkeep, webrecip,
+                   webagree, webdiversity):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

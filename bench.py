@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "text_sentence_stats",
     "corpus_unimax_alloc",
     "dedup_cluster_keep_best",
+    "corpus_source_entropy",
+    "corpus_filter_agreement",
+    "mm_image_dhash",
     "web_cdx_lookup",
     "web_harmonic_centrality",
     "corpus_datasheet",

@@ -156,7 +156,119 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual dHash (difference hash) — near-dup keys for image payloads
+# ---------------------------------------------------------------------------
+
+# 8 rows x 7 horizontal comparisons = 56 bits (the signed-bigint-safe
+# variant of the classic 9x8/64-bit dHash; bit 63 would wrap negative)
+DHASH_ROWS, DHASH_COLS = 8, 7
+DHASH_BAND_BITS = 14   # 4 bands x 14 bits for the banded equi-join
+
+
+def image_dhash(payload: bytes, *, use_fake: bool = True) -> int:
+    """Decode seam (same stub contract as :func:`decode_image`): a real
+    deployment plugs Pillow here — ``resize((COLS+1, ROWS)).convert('L')``
+    then the same horizontal-gradient bits.  The deterministic fake
+    derives the luminance grid from the payload digest
+    (``p(x, y) = md5(digest:x:y)[:2] as int``) so the bit lattice, band
+    layout and join plumbing are real and SQL-verifiable."""
+    if not use_fake:
+        raise NotImplementedError(
+            "real perceptual hashing requires Pillow, not present in this "
+            "environment; plug a decoder into image_dhash()"
+        )
+    digest = hashlib.md5(payload).hexdigest()
+
+    def p(x: int, y: int) -> int:
+        return int(
+            hashlib.md5(f"{digest}:{x}:{y}".encode()).hexdigest()[:2], 16
+        )
+
+    h = 0
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS):
+            if p(x + 1, y) > p(x, y):
+                h |= 1 << (y * DHASH_COLS + x)
+    return h
+
+
+MM_DHASH = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash56", T.LongType()),
+    ]
+    + [T.StructField(f"band{i}", T.LongType()) for i in range(4)]
+)
+
+
+def extract_dhash(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> dHash + band buckets via Arrow
+    batches.  Near-dup candidate pairs then come from the standard
+    banded equi-join on any ``band{i}`` (the `dedup_simhash_pairs`
+    pigeonhole plan); hamming <= 4 guarantees at least one of the four
+    14-bit bands matches exactly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask = (1 << DHASH_BAND_BITS) - 1
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                h = image_dhash(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "dhash56": h,
+                        **{
+                            f"band{i}": (h >> (DHASH_BAND_BITS * i)) & mask
+                            for i in range(4)
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "dhash56"] + [f"band{i}" for i in range(4)],
+            )
+
+    return df.mapInPandas(gen, schema=MM_DHASH)
+
+
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_dhash(docs)
+
+
+def _dhash_sql() -> str:
+    def p(x: int, y: int) -> str:
+        return (
+            f"('0x' || substr(md5(dg || ':{x}:{y}'), 1, 2))::BIGINT"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {p(x + 1, y)} > {p(x, y)} THEN {1 << (y * DHASH_COLS + x)} ELSE 0 END)"
+        for y in range(DHASH_ROWS)
+        for x in range(DHASH_COLS)
+    )
+    mask = (1 << DHASH_BAND_BITS) - 1
+    bands = ", ".join(
+        f"((dhash56 // {1 << (DHASH_BAND_BITS * i)}) & {mask})::BIGINT"
+        f" AS band{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+h AS (SELECT doc_id, ({bits})::BIGINT AS dhash56 FROM d)
+SELECT doc_id, dhash56, {bands} FROM h
+"""
+
+
+MM_DHASH_SQL = _dhash_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "mm_binary_meta": (mm_binary_meta, MM_META_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_image_dhash": (mm_image_dhash, MM_DHASH_SQL),
 }
