@@ -142,11 +142,16 @@ def start_sessionize(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    return (
-        sessionize_stream(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from .state import state_partitions
+
+    # per-user session state: size state stores to live-key volume,
+    # not the session's batch shuffle width (streaming/state.py)
+    with state_partitions(spark):
+        return (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )

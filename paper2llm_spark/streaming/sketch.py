@@ -92,13 +92,18 @@ def start_windowed_hll(
         .parquet(input_dir)
     )
     out = windowed_hll_registers(src, window=window, watermark=watermark)
-    return (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from .state import state_partitions
+
+    # sketch state is (windows x registers) rows — size state stores
+    # to that, not the batch shuffle width (streaming/state.py)
+    with state_partitions(spark):
+        return (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def hll_estimate(max_ranks: list[int], m: int = HLL_STREAM_M) -> float:
@@ -192,13 +197,16 @@ def start_windowed_cms(
         .parquet(input_dir)
     )
     out = windowed_cms_counters(src, window=window, watermark=watermark)
-    return (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from .state import state_partitions
+
+    with state_partitions(spark):
+        return (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def cms_estimate(counters: dict, key: str, w: int = CMS_STREAM_W,

@@ -90,10 +90,15 @@ def start_windowed_counts(
         .parquet(input_dir)
     )
     out = windowed_event_counts(stream, window=window, watermark=watermark)
-    return (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from .state import state_partitions
+
+    # window-aggregation state is (windows x event_types) rows — size
+    # state stores to that, not the batch shuffle width (state.py)
+    with state_partitions(spark):
+        return (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )

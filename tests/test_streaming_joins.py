@@ -116,3 +116,25 @@ def test_long_run_50_waves_state_bounded(spark):
 def test_lag_within_window_and_nonnegative(spark):
     pairs = _batch_pairs(spark)
     assert all(0 <= lag <= 60 * 60 * 1000 for _, _, lag in pairs)
+
+
+def test_state_partitions_scoped_to_query(spark):
+    """streaming/state.py contract: the query runs with the state-sized
+    partition count (visible in its stateOperators progress) while the
+    session keeps its batch shuffle width for concurrent batch work."""
+    from paper2llm_spark.streaming.joins import start_interval_join
+    from paper2llm_spark.streaming.state import STATE_PARTITIONS
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    in_dir = _stage_ordered_waves(spark, n_waves=2)
+    q = start_interval_join(
+        spark, in_dir, query_name="p2l_ssj_conf", max_files_per_trigger=64
+    )
+    # restore must have happened at start-return, not at termination
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and all(
+        op["numShufflePartitions"] == STATE_PARTITIONS for op in ops
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
