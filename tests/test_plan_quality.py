@@ -1281,3 +1281,83 @@ def test_datasheet_single_corpus_exchange(spark):
         if "Exchange hashpartitioning" in ln
     }
     assert keys == {"source"}, keys  # source(+lang) cell agg only
+
+
+def test_passage_chunks_zero_exchange_generate(spark):
+    """Passage chunking: tokenize + count + explode + slice is one
+    generate stage inside the scan task — zero joins, zero exchanges,
+    zero Python. The explode fan-out stays in the scan stage."""
+    from paper2llm_spark.operators.webchunk import passage_chunks
+
+    plan = _physical(passage_chunks(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate explode" in plan  # the fan-out is the plan's only shape
+
+
+def test_code_detect_zero_exchange_projection(spark):
+    """Code-vs-prose: plant, replace-diff symbol counts, keyword LIKEs
+    and the verdict CASE are ONE codegen projection — zero exchanges,
+    zero joins, zero Python."""
+    from paper2llm_spark.operators.webcode import code_detect
+
+    plan = _physical(code_detect(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_table_extract_zero_exchange_projection(spark):
+    """HTML table -> Markdown: regex pulls + list HOFs are scan-side
+    codegen — zero exchanges, zero joins, zero Python."""
+    from paper2llm_spark.operators.webtable import table_extract
+
+    plan = _physical(table_extract(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_canonical_clusters_single_exchange_short_rows(spark):
+    """Canonical clustering: ONE hashpartitioning(canonical) exchange;
+    min()/count() keep their map-side partial phase (no collect_list),
+    and the shuffled rows carry only (canonical, url, flag)."""
+    from paper2llm_spark.operators.webcanon import canonical_clusters
+
+    plan = _physical(canonical_clusters(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1 and "canonical" in hash_exchanges[0]
+    assert "partial_min" in plan or "partial" in plan.lower()
+    assert "collect_list" not in plan
+
+
+def test_shingle_novelty_short_row_exchanges_no_joins(spark):
+    """Shingle novelty: the distinct + min-window + final 3-row groupBy
+    exchange only (doc_id, snap, sh) integer rows — the text column
+    never crosses a shuffle, and there are no joins and no Python."""
+    from paper2llm_spark.operators.webnovelty import shingle_novelty
+
+    plan = _physical(shingle_novelty(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
+def test_quantile_buckets_bounded_state(spark):
+    """Quantile sketch: groupBy(bucket) keeps map-side partial counts
+    (<= 64 bucket partials per task regardless of corpus size); the
+    cumulative window runs AFTER the collapse, over <= 64 rows; no
+    joins, no Python."""
+    from paper2llm_spark.operators.webquantile import quantile_buckets
+
+    plan = _physical(quantile_buckets(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
