@@ -489,19 +489,19 @@ _PRIORITY = [
     "web_cdx_lookup",
     "web_harmonic_centrality",
     "corpus_datasheet",
+    "text_passage_chunks",
+    "text_code_detect",
+    "web_table_extract",
+    "web_canonical_clusters",
+    "corpus_shingle_novelty",
+    "sketch_quantile_buckets",
+    "text_pii_redact",
+    "web_soft404_detect",
+    "text_mojibake_repair",
+    "text_line_dedup",
     # -- r2 greens, unchecked since round 2 --
     "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_lsh_pairs",
-    "dedup_lsh_verified",
-    "dedup_lsh_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash60",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
     "corpus_source_entropy",
     "corpus_filter_agreement",
     "text_lexical_diversity",
@@ -551,10 +551,10 @@ def _registry() -> dict[str, tuple]:
         sink, textstats, webanchor, webarc90, webboiler, webbte, webcetr,
         webdate, webpipe,
         webcard, webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
-        webagree, webdiversity, webkeep, weblexdiv, webrecip, websalsa,
-        websentence, websoft, webunimax, webvote, webzipf,
+        webagree, webcanon, webchunk, webcode, webdiversity, webkeep, weblexdiv, weblinededup, webmojibake, webpii, webrecip, websalsa,
+        websentence, websoft, websoft404, webtable, webunimax, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
-        webgraph, webmeta, webnormalize, webquality, webrobots, webrpv2, webselect,
+        webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
     )
 
@@ -571,7 +571,9 @@ def _registry() -> dict[str, tuple]:
                    websoft, webcharset, webbte, webpipe, webdate,
                    webcard, webcascade, webcdx, webcdxlookup, webgarbage, webharmonic, webtrust, websalsa,
                    weblexdiv, websentence, webunimax, webkeep, webrecip,
-                   webagree, webdiversity):
+                   webagree, webcanon, webchunk, webcode, webdiversity,
+                   weblinededup, webmojibake, webnovelty, webpii,
+                   webquantile, websoft404, webtable):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -1361,3 +1361,48 @@ def test_quantile_buckets_bounded_state(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_pii_redact_zero_exchange_projection(spark):
+    """PII redaction: regexp counts + the 3-deep replace chain are ONE
+    codegen projection — zero exchanges, zero joins, zero Python."""
+    from paper2llm_spark.operators.webpii import pii_redact
+
+    plan = _physical(pii_redact(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_soft404_zero_exchange_projection(spark):
+    """Soft-404 gate: phrase LIKEs + verdict CASEs ride the scan —
+    zero exchanges, zero joins, zero Python."""
+    from paper2llm_spark.operators.websoft404 import soft404_detect
+
+    plan = _physical(soft404_detect(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_mojibake_zero_exchange_projection(spark):
+    """Mojibake repair: marker counts + the 12-deep replace chain are
+    ONE codegen projection — zero exchanges, zero joins, zero Python."""
+    from paper2llm_spark.operators.webmojibake import mojibake_repair
+
+    plan = _physical(mojibake_repair(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_line_dedup_zero_exchange_hof(spark):
+    """Within-doc line dedup is per-document local work: the filter
+    HOF runs inside the scan task — zero exchanges, zero joins, zero
+    Python (the correct distribution is NO distribution)."""
+    from paper2llm_spark.operators.weblinededup import line_dedup
+
+    plan = _physical(line_dedup(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
