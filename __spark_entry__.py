@@ -499,9 +499,11 @@ _PRIORITY = [
     "web_soft404_detect",
     "text_mojibake_repair",
     "text_line_dedup",
-    # -- r2 greens, unchecked since round 2 --
-    "dedup_exact",
-    "ann_cosine_topk",
+    "text_dehyphenate",
+    "text_heading_outline",
+    # -- r2 greens (dedup_exact, ann_cosine_topk) rotated out: both are
+    # additionally pytest-gated, the safest slots to give up when new
+    # never-checked operators need the driver's 50-row window --
     "corpus_source_entropy",
     "corpus_filter_agreement",
     "text_lexical_diversity",
@@ -551,7 +553,7 @@ def _registry() -> dict[str, tuple]:
         sink, textstats, webanchor, webarc90, webboiler, webbte, webcetr,
         webdate, webpipe,
         webcard, webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
-        webagree, webcanon, webchunk, webcode, webdiversity, webkeep, weblexdiv, weblinededup, webmojibake, webpii, webrecip, websalsa,
+        webagree, webcanon, webchunk, webcode, webdehyph, webdiversity, webkeep, weblexdiv, weblinededup, webmojibake, weboutline, webpii, webrecip, websalsa,
         websentence, websoft, websoft404, webtable, webunimax, webvote, webzipf,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
@@ -573,7 +575,8 @@ def _registry() -> dict[str, tuple]:
                    weblexdiv, websentence, webunimax, webkeep, webrecip,
                    webagree, webcanon, webchunk, webcode, webdiversity,
                    weblinededup, webmojibake, webnovelty, webpii,
-                   webquantile, websoft404, webtable):
+                   webquantile, websoft404, webtable,
+                   webdehyph, weboutline):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -76,6 +76,18 @@ BENCH_QUERIES = [
     "web_extract_cascade",
     "text_ocr_garbage",
     "web_trustrank",
+    "text_passage_chunks",
+    "text_code_detect",
+    "web_table_extract",
+    "web_canonical_clusters",
+    "corpus_shingle_novelty",
+    "sketch_quantile_buckets",
+    "text_pii_redact",
+    "web_soft404_detect",
+    "text_mojibake_repair",
+    "text_line_dedup",
+    "text_dehyphenate",
+    "text_heading_outline",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

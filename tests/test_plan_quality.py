@@ -1406,3 +1406,27 @@ def test_line_dedup_zero_exchange_hof(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dehyphenate_zero_exchange_projection(spark):
+    """Dehyphenation: the break count + regexp_replace + md5 are ONE
+    codegen projection riding the scan — zero exchanges, zero joins,
+    zero Python; at 100 TB the cost is a linear regex pass per task."""
+    from paper2llm_spark.operators.webdehyph import dehyphenate
+
+    plan = _physical(dehyphenate(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_heading_outline_zero_exchange_hof(spark):
+    """Outline extraction is per-document local work: split/filter/
+    transform HOFs + explode inside the scan task — zero joins, zero
+    exchanges, zero Python (parent resolution never leaves the row)."""
+    from paper2llm_spark.operators.weboutline import heading_outline
+
+    plan = _physical(heading_outline(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
