@@ -513,6 +513,15 @@ _PRIORITY = [
     "web_link_reciprocity",
     "mm_image_dhash",
     "web_salsa_scores",
+    # -- positions 51+: registered after the r4 window filled; these
+    # head the round-5 rotation (locally dual-gated every pytest run
+    # by tests/test_driver_contract.py until the driver reaches them) --
+    "web_template_lines",
+    "dedup_containment",
+    "corpus_ngram_counts",
+    "web_redirect_chains",
+    "web_url_features",
+    "decontaminate_semantic",
 ]
 
 
@@ -555,6 +564,7 @@ def _registry() -> dict[str, tuple]:
         webcard, webcascade, webcdx, webcdxlookup, webcharset, webgarbage, webharmonic, webtrust, webcomponents, webcorpus, webfilter, webfunnel,
         webagree, webcanon, webchunk, webcode, webdehyph, webdiversity, webkeep, weblexdiv, weblinededup, webmojibake, weboutline, webpii, webrecip, websalsa,
         websentence, websoft, websoft404, webtable, webunimax, webvote, webzipf,
+        webcontain, webngramtab, webredirect, websemdecon, webtemplate, weburlfeat,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -576,7 +586,9 @@ def _registry() -> dict[str, tuple]:
                    webagree, webcanon, webchunk, webcode, webdiversity,
                    weblinededup, webmojibake, webnovelty, webpii,
                    webquantile, websoft404, webtable,
-                   webdehyph, weboutline):
+                   webdehyph, weboutline,
+                   webcontain, webngramtab, webredirect, websemdecon,
+                   webtemplate, weburlfeat):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "text_line_dedup",
     "text_dehyphenate",
     "text_heading_outline",
+    "web_template_lines",
+    "dedup_containment",
+    "corpus_ngram_counts",
+    "web_redirect_chains",
+    "web_url_features",
+    "decontaminate_semantic",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1430,3 +1430,77 @@ def test_heading_outline_zero_exchange_hof(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_template_lines_broadcast_host_counts(spark):
+    """Template-line detection: ONE wide exchange for the (host, line)
+    groupBy; the per-host page-count table re-enters via broadcast so
+    the join adds no exchange; zero Python."""
+    from paper2llm_spark.operators.webtemplate import template_lines
+
+    plan = _physical(template_lines(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_df_cap_before_self_join(spark):
+    """Broder containment: the df-cap filter must sit BETWEEN the df
+    aggregate and the pair self-join (bounded fanout by construction),
+    and pair rows carry bigints only — no collect_list buffering."""
+    from paper2llm_spark.operators.webcontain import containment_pairs
+
+    plan = _physical(containment_pairs(spark, "/root/testdata/sf0.01"))
+    assert "collect_list" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the df-cap aggregate feeds a join (candidate generation is gated)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ngram_counts_single_explode_partial_agg(spark):
+    """Web-1T n-gram table: the three per-n arrays concatenate before
+    ONE explode (one generator in the plan), and the count groupBy
+    keeps its map-side partial phase — what shuffles is (gram,
+    partial_count), not per-occurrence rows."""
+    from paper2llm_spark.operators.webngramtab import ngram_counts
+
+    plan = _physical(ngram_counts(spark, "/root/testdata/sf0.01"))
+    assert plan.count("Generate explode") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_redirect_chains_materializes_each_round(spark):
+    """Pointer doubling self-joins the map with itself: without
+    per-round materialization the lineage doubles per round and m0 is
+    recomputed 2^r times.  Each round localCheckpoints, so the FINAL
+    plan contains only the terminal probe join over the checkpointed
+    map — never the exponentially re-expanded join tree; zero Python."""
+    from paper2llm_spark.operators.webredirect import redirect_chains
+
+    plan = _physical(redirect_chains(spark, "/root/testdata/sf0.01"))
+    assert plan.count("Join") <= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_features_zero_exchange_projection(spark):
+    """URL feature battery: ONE codegen projection riding the scan —
+    zero joins, zero exchanges, zero Python."""
+    from paper2llm_spark.operators.weburlfeat import url_features
+
+    plan = _physical(url_features(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_semantic_decon_broadcasts_eval_set(spark):
+    """Semantic decontamination: the eval set is broadcast (corpus
+    scanned once, never shuffled for the join); zero Python."""
+    from paper2llm_spark.operators.websemdecon import semantic_decontaminate
+
+    plan = _physical(semantic_decontaminate(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
