@@ -522,6 +522,12 @@ _PRIORITY = [
     "web_redirect_chains",
     "web_url_features",
     "decontaminate_semantic",
+    "web_opic_scores",
+    "web_cocitation_pairs",
+    "dedup_bbit_minhash",
+    "text_rake_keywords",
+    "text_homoglyph_scan",
+    "corpus_badwords_filter",
 ]
 
 
@@ -565,6 +571,7 @@ def _registry() -> dict[str, tuple]:
         webagree, webcanon, webchunk, webcode, webdehyph, webdiversity, webkeep, weblexdiv, weblinededup, webmojibake, weboutline, webpii, webrecip, websalsa,
         websentence, websoft, websoft404, webtable, webunimax, webvote, webzipf,
         webcontain, webngramtab, webredirect, websemdecon, webtemplate, weburlfeat,
+        webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -588,7 +595,9 @@ def _registry() -> dict[str, tuple]:
                    webquantile, websoft404, webtable,
                    webdehyph, weboutline,
                    webcontain, webngramtab, webredirect, websemdecon,
-                   webtemplate, weburlfeat):
+                   webtemplate, weburlfeat,
+                   webbadwords, webbbit, webcocite, webglyph, webopic,
+                   webrake):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "web_redirect_chains",
     "web_url_features",
     "decontaminate_semantic",
+    "web_opic_scores",
+    "web_cocitation_pairs",
+    "dedup_bbit_minhash",
+    "text_rake_keywords",
+    "text_homoglyph_scan",
+    "corpus_badwords_filter",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1504,3 +1504,80 @@ def test_semantic_decon_broadcasts_eval_set(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_badwords_zero_exchange_projection(spark):
+    """C4 badwords gate: planting, token scan, IN-list membership and
+    all three outputs in ONE codegen projection — zero exchanges,
+    zero joins, zero Python."""
+    from paper2llm_spark.operators.webbadwords import badwords_filter
+
+    plan = _physical(badwords_filter(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_homoglyph_zero_exchange_projection(spark):
+    """UTS #39 homoglyph scan: script counts, mixed-token HOF, skeleton
+    fold and md5 all ride the scan — zero exchanges/joins/Python."""
+    from paper2llm_spark.operators.webglyph import homoglyph_scan
+
+    plan = _physical(homoglyph_scan(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bbit_single_pass_no_extra_join(spark):
+    """b-bit minhash: both signature families fold from one staged
+    shingle-hash array, and the b-bit components ride the band
+    self-join — exactly ONE join in the plan (the candidate join),
+    no second join to fetch signatures; zero Python."""
+    from paper2llm_spark.operators.webbbit import bbit_verified_pairs
+
+    plan = _physical(bbit_verified_pairs(spark, "/root/testdata/sf0.01"))
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert joins == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cocite_edge_list_materialized_once(spark):
+    """Co-citation/coupling: the synth+hub edge build is checkpointed
+    so both measures and both self-join sides scan the SAME
+    materialized edges (Scan ExistingRDD), never re-deriving the
+    union+distinct subtree; degree caps are aggregates feeding the
+    joins; zero Python."""
+    from paper2llm_spark.operators.webcocite import cocitation_pairs
+
+    plan = _physical(cocitation_pairs(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan  # nodes never rescanned
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_opic_rounds_checkpointed(spark):
+    """OPIC: per-round state is pinned (localCheckpoint) so the final
+    plan reads the round-3 materialization instead of re-executing the
+    exponentially re-expanded round tree; zero Python in any round."""
+    from paper2llm_spark.operators.webopic import opic_scores
+
+    plan = _physical(opic_scores(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rake_short_row_exchanges_only(spark):
+    """RAKE: text is dropped before the first exchange — every
+    exchanged row is (doc_id, pos/word) short columns; the word-score
+    re-entry join is the only join; zero Python."""
+    from paper2llm_spark.operators.webrake import rake_keywords
+
+    plan = _physical(rake_keywords(spark, "/root/testdata/sf0.01"))
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert joins == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no exchange carries the text column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
