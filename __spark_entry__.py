@@ -528,6 +528,12 @@ _PRIORITY = [
     "text_rake_keywords",
     "text_homoglyph_scan",
     "corpus_badwords_filter",
+    "corpus_good_turing",
+    "corpus_pmi_collocations",
+    "corpus_heaps_curve",
+    "corpus_word_burstiness",
+    "corpus_keyness_g2",
+    "corpus_signal_spearman",
 ]
 
 
@@ -572,6 +578,7 @@ def _registry() -> dict[str, tuple]:
         websentence, websoft, websoft404, webtable, webunimax, webvote, webzipf,
         webcontain, webngramtab, webredirect, websemdecon, webtemplate, weburlfeat,
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
+        webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -597,7 +604,9 @@ def _registry() -> dict[str, tuple]:
                    webcontain, webngramtab, webredirect, websemdecon,
                    webtemplate, weburlfeat,
                    webbadwords, webbbit, webcocite, webglyph, webopic,
-                   webrake):
+                   webrake,
+                   webburst, webgoodturing, webheaps, webkeyness, webpmi,
+                   webspearman):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

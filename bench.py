@@ -100,6 +100,12 @@ BENCH_QUERIES = [
     "text_rake_keywords",
     "text_homoglyph_scan",
     "corpus_badwords_filter",
+    "corpus_good_turing",
+    "corpus_pmi_collocations",
+    "corpus_heaps_curve",
+    "corpus_word_burstiness",
+    "corpus_keyness_g2",
+    "corpus_signal_spearman",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1,0 +1,114 @@
+"""Spearman rank correlation between two per-document quality signals
+(Spearman 1904) — the standard QA check on a filter battery: if two
+signals rank the corpus near-identically (rho → 1) one of them is
+redundant; if a cheap signal tracks an expensive one, the cheap one
+gates first.  Complements the corpus_filter_agreement kappa (which
+compares binary verdicts; this compares full rankings).
+
+Semantics (frozen): signal X = ``n_chars`` (corpus column), signal
+Y = lowercased whitespace token count; ranks 1..n under the
+deterministic TOTAL order ``(value, doc_id)`` — doc_id breaks ties,
+so ranks are exact integers and cross-engine identical (the
+tie-corrected average-rank variant is a driver-side refinement of
+the same Σd² statistic).  Output ONE row::
+
+    (n, sum_d2, rho_micro),
+    rho_micro = 1_000_000 - 6_000_000·Σd² div (n·(n²-1))
+
+— the classic closed form, exact integer division.  Bigint range:
+6e6·Σd² < 2^63 while n < ~10^4; beyond that rho is computed
+driver-side from the exact (n, Σd²) pair this query already emits
+(documented split, the HLL/CMS discipline).
+
+Plan shape (the scale story): a global sort-free EXACT ranking —
+rank(v, doc) = (# rows with smaller value) + (position among equal
+values): the value histogram collapses in a map-side-combinable
+groupBy (value-distinct, small), its cumulative offsets come from a
+window over COLLAPSED rows only, and the per-value position is a
+``partitionBy(value)`` window — distributed, never a single-partition
+global window over the corpus (the naive ``row_number() OVER
+(ORDER BY v)`` would funnel 10^12 rows through one task).  The
+histogram re-enters by broadcast.  Two such rankings join on doc_id
+and fold to one row.  Zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_TOKENS, tokens
+
+
+def _ranked(df: DataFrame, out: str) -> DataFrame:
+    """(doc_id, v) -> (doc_id, <out>=rank) under ORDER BY (v, doc_id),
+    without a global window: broadcast cumulative histogram + a
+    per-value position window."""
+    hist = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "v",
+        (F.sum("c").over(Window.orderBy("v")) - F.col("c")).alias("before"),
+    )
+    pos = F.row_number().over(Window.partitionBy("v").orderBy("doc_id"))
+    return df.join(F.broadcast(cum), "v").select(
+        "doc_id", (F.col("before") + pos).cast("bigint").alias(out)
+    )
+
+
+def spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return spearman_frame(docs)
+
+
+def spearman_frame(docs: DataFrame) -> DataFrame:
+    x = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("v"))
+    y = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("v")
+    )
+    rx = _ranked(x, "rx")
+    ry = _ranked(y, "ry")
+    return (
+        rx.join(ry, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+            .cast("bigint")
+            .alias("sum_d2"),
+        )
+        .select(
+            "n",
+            "sum_d2",
+            F.expr(
+                "1000000 - 6000000 * sum_d2 div greatest(1, n * (n * n - 1))"
+            )
+            .cast("bigint")
+            .alias("rho_micro"),
+        )
+    )
+
+
+_TOK = SQL_TOKENS.format(expr="text")
+
+SPEARMAN_SQL = f"""
+WITH x AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rx
+           FROM documents),
+y AS (SELECT doc_id,
+             row_number() OVER (ORDER BY len({_TOK}), doc_id) AS ry
+      FROM documents),
+j AS (SELECT rx::BIGINT AS rx, ry::BIGINT AS ry
+      FROM x JOIN y USING (doc_id)),
+agg AS (SELECT count(*)::BIGINT AS n,
+               sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2 FROM j)
+SELECT n, sum_d2,
+       (1000000 - 6000000 * sum_d2 // greatest(1, n * (n * n - 1)))::BIGINT
+         AS rho_micro
+FROM agg
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "corpus_signal_spearman": (spearman_signals, SPEARMAN_SQL),
+}

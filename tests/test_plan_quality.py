@@ -1581,3 +1581,83 @@ def test_rake_short_row_exchanges_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_good_turing_second_agg_over_collapsed_rows(spark):
+    """Good-Turing: the frequency-of-frequencies groupBy consumes the
+    ALREADY COLLAPSED (word, count) table; the r+1 lookup join is over
+    the tiny r-table; zero Python."""
+    from paper2llm_spark.operators.webgoodturing import good_turing
+
+    plan = _physical(good_turing(spark, "/root/testdata/sf0.01"))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_bigram_table_materialized_once(spark):
+    """PMI: marginals, N, and the scored join all reuse the
+    checkpointed bigram table — the corpus-sized explode+groupBy
+    appears ONCE (Scan ExistingRDD thereafter); totals re-enter by
+    broadcast; zero Python."""
+    from paper2llm_spark.operators.webpmi import pmi_collocations
+
+    plan = _physical(pmi_collocations(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heaps_checkpoint_join_is_broadcast(spark):
+    """Heaps curve: the 10-row bound table joins by broadcast nested
+    loop (range predicate); the corpus is scanned, collapsed, and never
+    re-shuffled for checkpointing; zero Python."""
+    from paper2llm_spark.operators.webheaps import heaps_curve
+
+    plan = _physical(heaps_curve(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_burstiness_two_short_row_exchanges(spark):
+    """Burstiness: per-(doc,word) collapse then per-word fold — both
+    map-side combinable, no joins, zero Python."""
+    from paper2llm_spark.operators.webburst import word_burstiness
+
+    plan = _physical(word_burstiness(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keyness_word_table_materialized_once(spark):
+    """G² keyness: ONE conditional-sum groupBy(word) carries both
+    sides' counts, checkpointed so totals and the scored filter don't
+    each re-run the corpus scan (Scan ExistingRDD, no parquet rescan);
+    totals re-enter as a 1-row broadcast; zero Python."""
+    from paper2llm_spark.operators.webkeyness import keyness_g2
+
+    plan = _physical(keyness_g2(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spearman_no_global_corpus_window(spark):
+    """Spearman: ranking is histogram-offset + per-value window — the
+    plan must contain NO window without partitioning over corpus rows
+    (the single-partition global-sort trap); the only unpartitioned
+    window runs over the collapsed value histogram, which arrives
+    pre-aggregated (its input subtree contains a HashAggregate);
+    zero Python."""
+    from paper2llm_spark.operators.webspearman import spearman_signals
+
+    plan = _physical(spearman_signals(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the corpus-sized row_number windows must be PARTITIONED by value
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "windowspecdefinition(v#" in line, line
+    # exactly 3 SinglePartition exchanges: two collapsed-histogram
+    # cumsums + the final 1-row fold — never the corpus itself
+    assert plan.count("Exchange SinglePartition") == 3, plan
