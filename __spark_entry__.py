@@ -534,6 +534,12 @@ _PRIORITY = [
     "corpus_word_burstiness",
     "corpus_keyness_g2",
     "corpus_signal_spearman",
+    "web_structured_data",
+    "web_ccaligned_pairs",
+    "web_hreflang_clusters",
+    "web_title_spam",
+    "web_dom_depth",
+    "web_amp_pairs",
 ]
 
 
@@ -579,6 +585,7 @@ def _registry() -> dict[str, tuple]:
         webcontain, webngramtab, webredirect, websemdecon, webtemplate, weburlfeat,
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
+        webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -606,7 +613,9 @@ def _registry() -> dict[str, tuple]:
                    webbadwords, webbbit, webcocite, webglyph, webopic,
                    webrake,
                    webburst, webgoodturing, webheaps, webkeyness, webpmi,
-                   webspearman):
+                   webspearman,
+                   webamp, webccalign, webdomdepth, webhreflang,
+                   webtitlespam, webwdc):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

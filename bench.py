@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "corpus_word_burstiness",
     "corpus_keyness_g2",
     "corpus_signal_spearman",
+    "web_structured_data",
+    "web_ccaligned_pairs",
+    "web_hreflang_clusters",
+    "web_title_spam",
+    "web_dom_depth",
+    "web_amp_pairs",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1661,3 +1661,80 @@ def test_spearman_no_global_corpus_window(spark):
     # exactly 3 SinglePartition exchanges: two collapsed-histogram
     # cumsums + the final 1-row fold — never the corpus itself
     assert plan.count("Exchange SinglePartition") == 3, plan
+
+
+def test_structured_data_zero_exchange(spark):
+    """WDC structured data: synthesis + all three extractions in ONE
+    codegen projection; zero exchanges/joins/Python."""
+    from paper2llm_spark.operators.webwdc import structured_data
+
+    plan = _physical(structured_data(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ccaligned_pivot_collapsed_before_join(spark):
+    """CCAligned: the English pivot collapses to one row per key
+    (HashAggregate) BEFORE the equi-join, so the join is pivot-sized;
+    zero Python."""
+    from paper2llm_spark.operators.webccalign import ccaligned_pairs
+
+    plan = _physical(ccaligned_pairs(spark, "/root/testdata/sf0.01"))
+    # min(url) over string keys plans as SortAggregate (still partial+final)
+    assert "SortAggregate" in plan or "HashAggregate" in plan, plan
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert joins == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hreflang_reuses_cc_machinery(spark):
+    """hreflang clusters: edge extraction scan-side, clustering via the
+    checkpointed connected-components label table (Scan ExistingRDD);
+    zero Python."""
+    from paper2llm_spark.operators.webhreflang import hreflang_clusters
+
+    plan = _physical(hreflang_clusters(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_title_spam_zero_exchange(spark):
+    """Title-spam battery: one codegen projection, zero exchanges/
+    joins/Python."""
+    from paper2llm_spark.operators.webtitlespam import title_spam
+
+    plan = _physical(title_spam(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dom_depth_single_url_exchange_no_payload(spark):
+    """DOM depth: ONE hashpartitioning(url) exchange shared by the
+    prefix-sum window and the per-url fold; the html payload never
+    rides an exchange; zero joins/Python."""
+    from paper2llm_spark.operators.webdomdepth import dom_depth
+
+    plan = _physical(dom_depth(spark, "/root/testdata/sf0.01"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "html" not in line, line
+
+
+def test_amp_pairs_short_row_join(spark):
+    """AMP pairs: one equi-join over (url, href) short rows — the page
+    payload is dropped before the exchange; reciprocity is a column
+    compare, not a second join; zero Python."""
+    from paper2llm_spark.operators.webamp import amp_pairs
+
+    plan = _physical(amp_pairs(spark, "/root/testdata/sf0.01"))
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert joins == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "html" not in line, line
