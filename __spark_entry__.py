@@ -540,6 +540,10 @@ _PRIORITY = [
     "web_title_spam",
     "web_dom_depth",
     "web_amp_pairs",
+    "text_luhn_scan",
+    "ann_sparse_projection",
+    "sketch_kmv_overlap",
+    "ann_kcenter_seeds",
 ]
 
 
@@ -586,6 +590,7 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
+        webkcenter, webluhn, webrp, websketchkmv,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -615,7 +620,8 @@ def _registry() -> dict[str, tuple]:
                    webburst, webgoodturing, webheaps, webkeyness, webpmi,
                    webspearman,
                    webamp, webccalign, webdomdepth, webhreflang,
-                   webtitlespam, webwdc):
+                   webtitlespam, webwdc,
+                   webkcenter, webluhn, webrp, websketchkmv):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "web_title_spam",
     "web_dom_depth",
     "web_amp_pairs",
+    "text_luhn_scan",
+    "ann_sparse_projection",
+    "sketch_kmv_overlap",
+    "ann_kcenter_seeds",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1738,3 +1738,59 @@ def test_amp_pairs_short_row_join(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "html" not in line, line
+
+
+def test_luhn_zero_exchange_hof(spark):
+    """Luhn PAN scan: planting, digit-run split, and the per-candidate
+    checksum fold all ride the scan — zero exchanges/joins/Python."""
+    from paper2llm_spark.operators.webluhn import luhn_scan
+
+    plan = _physical(luhn_scan(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sparse_projection_zero_exchange(spark):
+    """Achlioptas projection: 16 literal-sign add-chains in ONE codegen
+    projection — no broadcast (matrix lives in the instruction stream),
+    zero exchanges/joins/Python."""
+    from paper2llm_spark.operators.webrp import sparse_projection
+
+    plan = _physical(sparse_projection(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Broadcast" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_pair_algebra_over_sketch_rows(spark):
+    """KMV overlap: one corpus-sized distinct exchange; all pair
+    algebra consumes the checkpointed K-row-per-source sketch (Scan
+    ExistingRDD), bounded regardless of corpus size; zero Python."""
+    from paper2llm_spark.operators.websketchkmv import kmv_overlap
+
+    plan = _physical(kmv_overlap(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcenter_argmax_never_sorts_corpus(spark):
+    """Gonzalez k-center: each round's argmax is TakeOrderedAndProject
+    (top-1), never a global Sort of the corpus; centers re-enter as
+    literals (no join against a center table); zero Python UDFs."""
+    from paper2llm_spark.operators.webkcenter import kcenter_seeds
+    from pyspark.sql import functions as F
+    from paper2llm_spark.operators.webkcenter import _dist2
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    probe = emb.select(
+        "vec_id", F.round(_dist2(F.col("v"), [0.0] * 64), 4).alias("md")
+    ).orderBy(F.col("md").desc(), F.col("vec_id")).limit(1)
+    plan = _physical(probe)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
