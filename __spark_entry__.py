@@ -544,6 +544,8 @@ _PRIORITY = [
     "ann_sparse_projection",
     "sketch_kmv_overlap",
     "ann_kcenter_seeds",
+    "text_kn_logprob",
+    "text_textrank_words",
 ]
 
 
@@ -590,7 +592,7 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
-        webkcenter, webluhn, webrp, websketchkmv,
+        webkcenter, webkn, webluhn, webrp, websketchkmv, webtextrank,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -621,7 +623,8 @@ def _registry() -> dict[str, tuple]:
                    webspearman,
                    webamp, webccalign, webdomdepth, webhreflang,
                    webtitlespam, webwdc,
-                   webkcenter, webluhn, webrp, websketchkmv):
+                   webkcenter, webluhn, webrp, websketchkmv,
+                   webkn, webtextrank):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

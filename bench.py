@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "ann_sparse_projection",
     "sketch_kmv_overlap",
     "ann_kcenter_seeds",
+    "text_kn_logprob",
+    "text_textrank_words",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

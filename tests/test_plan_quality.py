@@ -1794,3 +1794,39 @@ def test_kcenter_argmax_never_sorts_corpus(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kn_one_corpus_exchange_then_vocab_joins(spark):
+    """Kneser-Ney: the train-split bigram groupBy is the ONE
+    corpus-sized exchange; context/continuation tables derive from the
+    checkpointed collapsed bigram table (Scan ExistingRDD — never a
+    second corpus agg); constants re-enter by 1-row broadcast; zero
+    Python."""
+    from paper2llm_spark.operators.webkn import kn_logprob
+
+    plan = _physical(kn_logprob(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row consts only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one scan of the documents parquet feeds BOTH the train
+    # split and the scored corpus branch is impossible (two consumers),
+    # but the TRAIN subtree must not rescan: train is checkpointed
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_textrank_rounds_join_checkpointed_edges(spark):
+    """TextRank: the bigram groupBy is the one corpus exchange; every
+    PR round joins the checkpointed vocabulary-sized edge list (Scan
+    ExistingRDD), never re-deriving it from documents; zero Python."""
+    from paper2llm_spark.operators.webtextrank import (
+        TR_ITERS, textrank_words,
+    )
+
+    plan = _physical(textrank_words(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    # the corpus parquet was scanned ONCE, inside the eager edge
+    # checkpoint — the final plan (rounds + degree + nodes) reads ONLY
+    # the checkpointed vocabulary-sized edge list
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert TR_ITERS == 3
