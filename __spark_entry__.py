@@ -546,6 +546,8 @@ _PRIORITY = [
     "ann_kcenter_seeds",
     "text_kn_logprob",
     "text_textrank_words",
+    "corpus_outlier_fences",
+    "decontaminate_funnel",
 ]
 
 
@@ -592,7 +594,8 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
-        webkcenter, webkn, webluhn, webrp, websketchkmv, webtextrank,
+        webdecon, webkcenter, webkn, webluhn, webrp, websketchkmv,
+        webtextrank, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -624,7 +627,7 @@ def _registry() -> dict[str, tuple]:
                    webamp, webccalign, webdomdepth, webhreflang,
                    webtitlespam, webwdc,
                    webkcenter, webluhn, webrp, websketchkmv,
-                   webkn, webtextrank):
+                   webkn, webtextrank, webtukey, webdecon):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "ann_kcenter_seeds",
     "text_kn_logprob",
     "text_textrank_words",
+    "corpus_outlier_fences",
+    "decontaminate_funnel",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

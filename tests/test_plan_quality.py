@@ -1830,3 +1830,38 @@ def test_textrank_rounds_join_checkpointed_edges(spark):
     assert plan.count("Scan parquet") == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert TR_ITERS == 3
+
+
+def test_outlier_fences_collapsed_state_and_broadcast_reentry(spark):
+    """Tukey/Hampel fences: the only corpus-sized exchange is the
+    groupBy(v) histogram collapse; quartile/MAD windows run over the
+    checkpointed collapsed table (Scan ExistingRDD); fence scalars
+    re-enter by 1-row broadcast NLJ; no sort-merge join, no Python,
+    and no exchange ever carries text."""
+    from paper2llm_spark.operators.webtukey import outlier_fences
+
+    plan = _physical(outlier_fences(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_decon_funnel_broadcast_tiers_no_text_exchange(spark):
+    """Decontamination funnel: benchmark digests and grams probe as
+    BROADCAST hash joins (the eval side is tiny by construction); the
+    digest+gram projection is checkpointed once (Scan ExistingRDD);
+    reassembly joins move only short signal rows — raw text never
+    rides an exchange; zero Python."""
+    from paper2llm_spark.operators.webdecon import decontaminate_funnel
+
+    plan = _physical(decontaminate_funnel(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
