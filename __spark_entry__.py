@@ -548,6 +548,9 @@ _PRIORITY = [
     "text_textrank_words",
     "corpus_outlier_fences",
     "decontaminate_funnel",
+    "text_luhn_summary",
+    "web_lpa_communities",
+    "corpus_split_assign",
 ]
 
 
@@ -594,8 +597,8 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
-        webdecon, webkcenter, webkn, webluhn, webrp, websketchkmv,
-        webtextrank, webtukey,
+        webdecon, webkcenter, webkn, weblpa, webluhn, webrp,
+        websketchkmv, websplit, websummary, webtextrank, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -627,7 +630,8 @@ def _registry() -> dict[str, tuple]:
                    webamp, webccalign, webdomdepth, webhreflang,
                    webtitlespam, webwdc,
                    webkcenter, webluhn, webrp, websketchkmv,
-                   webkn, webtextrank, webtukey, webdecon):
+                   webkn, webtextrank, webtukey, webdecon,
+                   websummary, weblpa, websplit):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "text_textrank_words",
     "corpus_outlier_fences",
     "decontaminate_funnel",
+    "text_luhn_summary",
+    "web_lpa_communities",
+    "corpus_split_assign",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1865,3 +1865,40 @@ def test_decon_funnel_broadcast_tiers_no_text_exchange(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_luhn_summary_shares_dockey_exchanges_no_text_shuffle(spark):
+    """Luhn summarization: token rows are short ints keyed by doc —
+    neither sentences nor raw text ride an exchange; argmaxes are
+    row_number windows, never global sorts; zero Python."""
+    from paper2llm_spark.operators.websummary import luhn_summary
+
+    plan = _physical(luhn_summary(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, plan     # n_sents base checkpoint
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "sent#" not in line, line
+
+
+def test_lpa_rounds_consume_checkpointed_adjacency(spark):
+    """LPA: the adjacency materializes once (Scan ExistingRDD); every
+    round is equi-join + count + rank-1 row_number window over 2-3
+    bigint rows; no global Sort of anything, zero Python."""
+    from paper2llm_spark.operators.weblpa import lpa_communities
+
+    plan = _physical(lpa_communities(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_split_assign_zero_exchange_projection(spark):
+    """Hash split: one codegen projection on the scan — no exchange,
+    no join, no Python."""
+    from paper2llm_spark.operators.websplit import split_assign
+
+    plan = _physical(split_assign(spark, "/root/testdata/sf0.01"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
