@@ -551,6 +551,9 @@ _PRIORITY = [
     "text_luhn_summary",
     "web_lpa_communities",
     "corpus_split_assign",
+    "text_topic_tiles",
+    "sketch_ams_f2",
+    "sink_jsonl_roundtrip",
 ]
 
 
@@ -597,8 +600,9 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
-        webdecon, webkcenter, webkn, weblpa, webluhn, webrp,
-        websketchkmv, websplit, websummary, webtextrank, webtukey,
+        webams, webdecon, webkcenter, webkn, weblpa, webluhn, webrp,
+        websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
+        webtile, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
         webgraph, webmeta, webnormalize, webnovelty, webquality, webquantile, webrobots, webrpv2, webselect,
         websnapshot, webstats,
@@ -631,7 +635,8 @@ def _registry() -> dict[str, tuple]:
                    webtitlespam, webwdc,
                    webkcenter, webluhn, webrp, websketchkmv,
                    webkn, webtextrank, webtukey, webdecon,
-                   websummary, weblpa, websplit):
+                   websummary, weblpa, websplit, webtile, webams,
+                   websinkjsonl):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "text_luhn_summary",
     "web_lpa_communities",
     "corpus_split_assign",
+    "text_topic_tiles",
+    "sketch_ams_f2",
+    "sink_jsonl_roundtrip",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

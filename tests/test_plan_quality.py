@@ -1902,3 +1902,29 @@ def test_split_assign_zero_exchange_projection(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_texttile_fanout_rides_collapsed_counts(spark):
+    """TextTiling: the K-fanout explode multiplies only the COLLAPSED
+    (doc, seq, term, count) rows (checkpoint -> Scan ExistingRDD);
+    raw text/tokens never ride an exchange; zero Python."""
+    from paper2llm_spark.operators.webtile import texttile
+
+    plan = _physical(texttile(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_ams_single_vocab_exchange_no_fanout(spark):
+    """AMS F2: one corpus-sized exchange (term groupBy); all 16
+    estimators are conditional sums in ONE aggregate over the
+    collapsed vocabulary — no joins, no row fanout, zero Python."""
+    from paper2llm_spark.operators.webams import ams_f2
+
+    plan = _physical(ams_f2(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
