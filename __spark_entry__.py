@@ -554,6 +554,8 @@ _PRIORITY = [
     "text_topic_tiles",
     "sketch_ams_f2",
     "sink_jsonl_roundtrip",
+    "web_pagination_chains",
+    "events_cusum_anomaly",
 ]
 
 
@@ -600,7 +602,8 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
-        webams, webdecon, webkcenter, webkn, weblpa, webluhn, webrp,
+        webams, webcusum, webdecon, webkcenter, webkn, weblpa, webluhn,
+        webpager, webrp,
         websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
         webtile, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
@@ -636,7 +639,7 @@ def _registry() -> dict[str, tuple]:
                    webkcenter, webluhn, webrp, websketchkmv,
                    webkn, webtextrank, webtukey, webdecon,
                    websummary, weblpa, websplit, webtile, webams,
-                   websinkjsonl):
+                   websinkjsonl, webpager, webcusum):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "text_topic_tiles",
     "sketch_ams_f2",
     "sink_jsonl_roundtrip",
+    "web_pagination_chains",
+    "events_cusum_anomaly",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

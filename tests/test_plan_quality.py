@@ -1928,3 +1928,30 @@ def test_ams_single_vocab_exchange_no_fanout(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagination_doubling_rounds_short_rows(spark):
+    """Wyllie list ranking: page payload dropped before the first
+    exchange; each doubling round is a self-equi-join of 3-column
+    rows; zero Python."""
+    from paper2llm_spark.operators.webpager import pagination_chains
+
+    plan = _physical(pagination_chains(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line, line
+
+
+def test_cusum_state_is_hour_grid_not_events(spark):
+    """CUSUM: the hourly groupBy is the one event-scale exchange; both
+    running windows and the spine live on |types| x |hours| rows; the
+    events payload (props/value) never rides an exchange; zero
+    Python."""
+    from paper2llm_spark.operators.webcusum import cusum_anomaly
+
+    plan = _physical(cusum_anomaly(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "props" not in line and "value" not in line, line
