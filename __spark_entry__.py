@@ -556,6 +556,9 @@ _PRIORITY = [
     "sink_jsonl_roundtrip",
     "web_pagination_chains",
     "events_cusum_anomaly",
+    "ann_silhouette",
+    "web_kcore_membership",
+    "sink_bucketed_join",
 ]
 
 
@@ -602,8 +605,9 @@ def _registry() -> dict[str, tuple]:
         webbadwords, webbbit, webcocite, webglyph, webopic, webrake,
         webburst, webgoodturing, webheaps, webkeyness, webpmi, webspearman,
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
-        webams, webcusum, webdecon, webkcenter, webkn, weblpa, webluhn,
-        webpager, webrp,
+        webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
+        webluhn,
+        webpager, webrp, websilhouette, websinkbucket,
         websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
         webtile, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
@@ -639,7 +643,8 @@ def _registry() -> dict[str, tuple]:
                    webkcenter, webluhn, webrp, websketchkmv,
                    webkn, webtextrank, webtukey, webdecon,
                    websummary, weblpa, websplit, webtile, webams,
-                   websinkjsonl, webpager, webcusum):
+                   websinkjsonl, webpager, webcusum, websilhouette,
+                   webkcore, websinkbucket):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "sink_jsonl_roundtrip",
     "web_pagination_chains",
     "events_cusum_anomaly",
+    "ann_silhouette",
+    "web_kcore_membership",
+    "sink_bucketed_join",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

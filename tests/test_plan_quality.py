@@ -1955,3 +1955,39 @@ def test_cusum_state_is_hour_grid_not_events(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "props" not in line and "value" not in line, line
+
+
+def test_silhouette_single_exchange_literal_centroids(spark):
+    """Silhouette: centroids live in the instruction stream — one
+    codegen projection plus ONE groupBy(cell) exchange; no joins, no
+    broadcast, zero Python."""
+    from paper2llm_spark.operators.websilhouette import ann_silhouette
+
+    plan = _physical(ann_silhouette(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_waves_consume_checkpointed_adjacency(spark):
+    """k-core peeling: adjacency materializes once (Scan ExistingRDD);
+    each wave is equi-joins + a map-side count over bigint pairs; zero
+    Python, no cartesian products."""
+    from paper2llm_spark.operators.webkcore import kcore_membership
+
+    plan = _physical(kcore_membership(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """THE bucketing claim: joining two tables bucketed+sorted on the
+    join key runs as a sort-merge with ZERO Exchange on either side —
+    the nightly signal-join shuffle deleted by storage layout."""
+    from paper2llm_spark.operators.websinkbucket import bucketed_join
+
+    plan = _physical(bucketed_join(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
