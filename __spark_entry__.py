@@ -559,6 +559,8 @@ _PRIORITY = [
     "ann_silhouette",
     "web_kcore_membership",
     "sink_bucketed_join",
+    "web_triangle_counts",
+    "mm_audio_vad",
 ]
 
 
@@ -607,7 +609,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        webpager, webrp, websilhouette, websinkbucket,
+        webpager, webrp, websilhouette, websinkbucket, webtriangle,
+        webvad,
         websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
         webtile, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
@@ -644,7 +647,7 @@ def _registry() -> dict[str, tuple]:
                    webkn, webtextrank, webtukey, webdecon,
                    websummary, weblpa, websplit, webtile, webams,
                    websinkjsonl, webpager, webcusum, websilhouette,
-                   webkcore, websinkbucket):
+                   webkcore, websinkbucket, webtriangle, webvad):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "ann_silhouette",
     "web_kcore_membership",
     "sink_bucketed_join",
+    "web_triangle_counts",
+    "mm_audio_vad",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -1991,3 +1991,29 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_wedges_on_oriented_arc_checkpoint(spark):
+    """Triangle counting: adjacency and oriented arcs materialize once
+    (Scan ExistingRDD); wedges/closure are equi-joins of 2-3 bigint
+    rows; no cartesian products, zero Python."""
+    from paper2llm_spark.operators.webtriangle import triangle_counts
+
+    plan = _physical(triangle_counts(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vad_samples_never_exist_as_rows(spark):
+    """VAD: synthesis + framing + energy fold are HOFs in the scan
+    projection — only the 8 frame energies per doc ever become rows;
+    one doc-keyed exchange family; zero Python."""
+    from paper2llm_spark.operators.webvad import audio_vad
+
+    plan = _physical(audio_vad(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan  # the left join back is doc-keyed short rows
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
