@@ -561,6 +561,8 @@ _PRIORITY = [
     "sink_bucketed_join",
     "web_triangle_counts",
     "mm_audio_vad",
+    "web_wilson_hosts",
+    "web_degree_assortativity",
 ]
 
 
@@ -609,8 +611,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        webpager, webrp, websilhouette, websinkbucket, webtriangle,
-        webvad,
+        webassort, webpager, webrp, websilhouette, websinkbucket,
+        webtriangle, webvad, webwilson,
         websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
         webtile, webtukey,
         websearch, webcdc, webcohort, webfrontier, webhost, webindex, weblm, weboverlap, webreadability, webrecrawl, websitemap, websketch, websubstr, webtemp, webtrap, webwinnow,
@@ -647,7 +649,8 @@ def _registry() -> dict[str, tuple]:
                    webkn, webtextrank, webtukey, webdecon,
                    websummary, weblpa, websplit, webtile, webams,
                    websinkjsonl, webpager, webcusum, websilhouette,
-                   webkcore, websinkbucket, webtriangle, webvad):
+                   webkcore, websinkbucket, webtriangle, webvad,
+                   webwilson, webassort):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "sink_bucketed_join",
     "web_triangle_counts",
     "mm_audio_vad",
+    "web_wilson_hosts",
+    "web_degree_assortativity",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2017,3 +2017,25 @@ def test_vad_samples_never_exist_as_rows(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_wilson_single_host_exchange(spark):
+    """Wilson hosts: pass flag is scan-side; ONE groupBy(host)
+    collapse; the bound is arithmetic on collapsed rows — no joins,
+    zero Python."""
+    from paper2llm_spark.operators.webwilson import wilson_hosts
+
+    plan = _physical(wilson_hosts(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assortativity_exact_integer_no_python(spark):
+    """Assortativity: degree re-entry joins + ONE global agg of bigint
+    sums; no cartesian product, zero Python."""
+    from paper2llm_spark.operators.webassort import degree_assortativity
+
+    plan = _physical(degree_assortativity(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
