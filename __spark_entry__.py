@@ -563,6 +563,8 @@ _PRIORITY = [
     "mm_audio_vad",
     "web_wilson_hosts",
     "web_degree_assortativity",
+    "web_seed_distance",
+    "text_benford_profile",
 ]
 
 
@@ -611,7 +613,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        webassort, webpager, webrp, websilhouette, websinkbucket,
+        webassort, webbenford, webpager, webrp, webseed, websilhouette,
+        websinkbucket,
         webtriangle, webvad, webwilson,
         websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
         webtile, webtukey,
@@ -650,7 +653,7 @@ def _registry() -> dict[str, tuple]:
                    websummary, weblpa, websplit, webtile, webams,
                    websinkjsonl, webpager, webcusum, websilhouette,
                    webkcore, websinkbucket, webtriangle, webvad,
-                   webwilson, webassort):
+                   webwilson, webassort, webseed, webbenford):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "mm_audio_vad",
     "web_wilson_hosts",
     "web_degree_assortativity",
+    "web_seed_distance",
+    "text_benford_profile",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

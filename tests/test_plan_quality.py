@@ -2039,3 +2039,26 @@ def test_assortativity_exact_integer_no_python(spark):
     plan = _physical(degree_assortativity(spark, "/root/testdata/sf0.01"))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_seed_distance_pregel_rounds_short_rows(spark):
+    """Seed BFS: checkpointed adjacency (Scan ExistingRDD); each round
+    one equi-join + map-side min-agg + left-join merge of 2-bigint
+    rows; zero Python."""
+    from paper2llm_spark.operators.webseed import seed_distance
+
+    plan = _physical(seed_distance(spark, "/root/testdata/sf0.01"))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_benford_digit_collapse_single_chain(spark):
+    """Benford: digit extraction is scan-side HOFs; groupBy(source,
+    digit) collapses the corpus to <=9*|sources| rows before the
+    pivot; no joins, zero Python."""
+    from paper2llm_spark.operators.webbenford import benford_profile
+
+    plan = _physical(benford_profile(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
