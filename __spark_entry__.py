@@ -565,6 +565,8 @@ _PRIORITY = [
     "web_degree_assortativity",
     "web_seed_distance",
     "text_benford_profile",
+    "search_ql_topk",
+    "search_rrf_fusion",
 ]
 
 
@@ -613,7 +615,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        webassort, webbenford, webpager, webrp, webseed, websilhouette,
+        webassort, webbenford, webpager, webql, webrp, webseed,
+        websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
         websinkjsonl, websketchkmv, websplit, websummary, webtextrank,
@@ -653,7 +656,7 @@ def _registry() -> dict[str, tuple]:
                    websummary, weblpa, websplit, webtile, webams,
                    websinkjsonl, webpager, webcusum, websilhouette,
                    webkcore, websinkbucket, webtriangle, webvad,
-                   webwilson, webassort, webseed, webbenford):
+                   webwilson, webassort, webseed, webbenford, webql):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

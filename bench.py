@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "web_degree_assortativity",
     "web_seed_distance",
     "text_benford_profile",
+    "search_ql_topk",
+    "search_rrf_fusion",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

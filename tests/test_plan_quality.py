@@ -2062,3 +2062,29 @@ def test_benford_digit_collapse_single_chain(spark):
     plan = _physical(benford_profile(spark, "/root/testdata/sf0.01"))
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ql_candidate_bounded_densification(spark):
+    """QL: the zero-tf densification joins the candidate set (|cands|
+    x 3 query terms), never the corpus; cf/df re-enter broadcast; zero
+    Python; text never rides an exchange."""
+    from paper2llm_spark.operators.webql import ql_topk
+
+    plan = _physical(ql_topk(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_rrf_consumes_k_bounded_lists(spark):
+    """RRF: fusion input is two K-bounded rank lists — union + groupBy
+    + one window over |queries| x 2K rows; zero Python."""
+    from paper2llm_spark.operators.webql import rrf_fusion
+
+    plan = _physical(rrf_fusion(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
