@@ -567,6 +567,8 @@ _PRIORITY = [
     "text_benford_profile",
     "search_ql_topk",
     "search_rrf_fusion",
+    "mm_dhash_pairs",
+    "mm_shot_boundaries",
 ]
 
 
@@ -615,7 +617,7 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        webassort, webbenford, webpager, webql, webrp, webseed,
+        mmdup, webassort, webbenford, webpager, webql, webrp, webseed,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -656,7 +658,8 @@ def _registry() -> dict[str, tuple]:
                    websummary, weblpa, websplit, webtile, webams,
                    websinkjsonl, webpager, webcusum, websilhouette,
                    webkcore, websinkbucket, webtriangle, webvad,
-                   webwilson, webassort, webseed, webbenford, webql):
+                   webwilson, webassort, webseed, webbenford, webql,
+                   mmdup):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

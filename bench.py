@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "text_benford_profile",
     "search_ql_topk",
     "search_rrf_fusion",
+    "mm_dhash_pairs",
+    "mm_shot_boundaries",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

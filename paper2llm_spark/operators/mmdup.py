@@ -1,0 +1,266 @@
+"""Multimodal near-dup retrieval over perceptual hashes: banded
+hamming pairs on the image dHash (the image twin of
+``dedup_simhash_pairs``) and shot-boundary detection over per-frame
+hashes (Zhang, Kankanhalli & Smoliar, Multimedia Systems 1993 —
+pairwise frame comparison, the baseline every shot-detection survey
+starts from).  Together they finish the multimodal family the way the
+text side is finished: `multimodal.py` produces the hashes, this
+module turns them into the two queries a crawl pipeline actually
+runs — "which images are near-identical?" and "where do the shots
+change in this video?".
+
+Reference seam: the reference handles images as opaque payloads with
+typed metadata (`src/types/interfaces.ts:103-110` OcrImage) and never
+compares them; these operators are the corpus-scale capability the
+north rule adds on top.  The decode step stays behind
+`multimodal.image_dhash`'s documented stub contract — everything
+downstream of the 56-bit hash is engine-exact and SQL-verifiable.
+
+Semantics (frozen):
+
+* ``mm_dhash_pairs`` — near-dup image pairs at hamming radius
+  ``HAM_MAX = 3`` over the 56-bit dHash.  The corpus is the base
+  hash table PLUS planted variants (every ``doc_id % 7 == 0`` image
+  re-ingested as ``doc_id + PLANT_OFFSET`` with ``k = doc_id % 4``
+  deterministic bit flips at positions ``(doc_id*13 + i*17) % 56``,
+  i = 1..k) — the synthetic corpus has no natural near-dup images,
+  so an unplanted gate would be vacuous; flip positions may collide
+  (XOR cancels), which both engines compute identically.  Candidate
+  generation is the pigeonhole band join: 4 x 14-bit chunks, any
+  pair within hamming 3 differs in at most 3 chunks so it collides
+  on at least one (exact recall at radius 3, the same guarantee
+  discipline as SimHash's 4 x 15-bit bands); verification is exact
+  ``bit_count(xor)``.  Random 14-bit band collisions among unrelated
+  images DO reach the verifier and are rejected there — both
+  polarities exercised on the real corpus.
+
+* ``mm_shot_boundaries`` — per-video frame sequence (same frame
+  synthesis rule as ``mm_frame_sample``: ``max(bytes div 10, 1)``
+  frames), per-frame 56-bit hash keyed on the SHOT index
+  (``frame_idx div SHOT_LEN``) so frames inside a shot share a hash;
+  every ``frame_idx % 3 == 1`` frame carries one deterministic
+  jitter bit (within-shot hamming <= 2, real sensor noise shape).  A
+  boundary is a consecutive-frame hamming > ``SHOT_THRESH = 10``
+  (uncorrelated hashes sit at ~28).  Output: one row per boundary
+  ``(doc_id, frame_idx, hamming)``.  A real deployment plugs a frame
+  decoder + real dHash into the same column; the lag-window
+  comparison, threshold rule and plan shape are production-real.
+
+Plan shape (the scale story): pairs — the hash table is |images|
+rows of 2 bigints; banding explodes x4 and self-joins on
+``(band, chunk)`` (bucket-bounded fanout, never all-pairs; the
+MinHash-LSH scale shape); the planted union is narrow and feeds the
+same join.  The Arrow seam (`extract_dhash`) runs ONCE on the scan
+side; everything after is codegen integer work.  Shots — frames are
+generated scan-side by explode(sequence) (never materialized wider
+than (doc_id, frame_idx, hash)), and the ONLY exchange is the
+hashpartitioning(doc_id) lag window; at 10^9 videos this is one
+shuffle of 3-bigint rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .multimodal import MM_DHASH_SQL, extract_dhash
+
+HAM_MAX = 3
+PLANT_OFFSET = 1_000_000
+BAND_BITS = 14
+N_BANDS = 4
+_BAND_MASK = (1 << BAND_BITS) - 1
+
+SHOT_LEN = 5
+SHOT_THRESH = 10
+JITTER_EVERY = 3
+
+_MASK_EXPR = (
+    "aggregate(filter(sequence(1, 3), i -> i <= doc_id % 4),"
+    " cast(0 as bigint),"
+    " (acc, i) -> acc ^ shiftleft(cast(1 as bigint),"
+    "   cast((doc_id * 13 + i * 17) % 56 as int)))"
+)
+
+
+def plant_variants(hashes: DataFrame) -> DataFrame:
+    """(doc_id, dhash56) -> the planted re-ingest rows (see module
+    docstring for the frozen flip rule)."""
+    return hashes.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.expr(f"dhash56 ^ ({_MASK_EXPR})").cast("bigint").alias("dhash56"),
+    )
+
+
+def pairs_from_hashes(hashes: DataFrame) -> DataFrame:
+    """(doc_id, dhash56) -> (doc_a, doc_b, hamming <= HAM_MAX) via the
+    4 x 14-bit pigeonhole band join."""
+    bands = hashes.select(
+        "doc_id",
+        "dhash56",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("dhash56", BAND_BITS * b)
+                    .bitwiseAND(F.lit(_BAND_MASK))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.dhash56").alias("ha"),
+        F.col("b.dhash56").alias("hb"),
+    ).distinct()
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(ha ^ hb) as bigint)").alias("hamming"),
+    ).filter(F.col("hamming") <= HAM_MAX)
+
+
+def mm_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    # Persist the hash table: the plant branch AND both sides of the
+    # band self-join consume it, and the Arrow decode seam leaves no
+    # exchange for AQE to reuse — without the persist the (stub)
+    # decoder would run 4x per image.  16 bytes/image; at 10^12
+    # images a production run writes the hash table between stages
+    # (the simhash_pairs discipline, dedup.py).
+    base = (
+        extract_dhash(docs)
+        .select("doc_id", "dhash56")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return pairs_from_hashes(base.unionByName(plant_variants(base)))
+
+
+MM_DHASH_PAIRS_SQL = f"""
+WITH h AS (SELECT doc_id, dhash56 FROM ({MM_DHASH_SQL})),
+masks AS (
+  SELECT doc_id,
+         bit_xor(1::BIGINT << ((doc_id * 13 + i * 17) % 56))::BIGINT AS mask
+  FROM (SELECT doc_id, unnest(range(1, doc_id % 4 + 1)) AS i
+        FROM h WHERE doc_id % 7 = 0)
+  GROUP BY doc_id
+),
+stacked AS (
+  SELECT doc_id, dhash56 FROM h
+  UNION ALL
+  SELECT h.doc_id + {PLANT_OFFSET} AS doc_id,
+         xor(h.dhash56, coalesce(m.mask, 0)) AS dhash56
+  FROM h LEFT JOIN masks m USING (doc_id) WHERE h.doc_id % 7 = 0
+),
+bands AS (
+  SELECT doc_id, dhash56, band,
+         ((dhash56 >> ({BAND_BITS} * band)) & {_BAND_MASK}) AS chunk
+  FROM stacked, (SELECT unnest(range(0, {N_BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dhash56 AS ha, b.dhash56 AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {HAM_MAX}
+"""
+
+
+def shot_boundaries_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, frame_idx, hamming) rows at
+    detected shot boundaries."""
+    frames = docs.select(
+        "doc_id",
+        F.md5("payload").alias("dg"),
+        F.explode(
+            F.expr(
+                "sequence(cast(0 as bigint),"
+                " greatest(cast(length(payload) as bigint) div 10,"
+                " cast(1 as bigint)) - 1)"
+            )
+        ).alias("frame_idx"),
+    )
+    base_h = (
+        f"cast(conv(substr(md5(concat(dg, ':', "
+        f"cast(frame_idx div {SHOT_LEN} as string))), 1, 14), 16, 10)"
+        f" as bigint)"
+    )
+    jitter = (
+        f"case when frame_idx % {JITTER_EVERY} = 1 then"
+        f" shiftleft(cast(1 as bigint),"
+        f" cast((doc_id * 7 + frame_idx * 31) % 56 as int))"
+        f" else cast(0 as bigint) end"
+    )
+    hashed = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(f"({base_h}) ^ ({jitter})").alias("fh"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    seq = hashed.select(
+        "doc_id",
+        "frame_idx",
+        "fh",
+        F.lag("fh").over(w).alias("prev"),
+    )
+    return seq.filter(F.col("prev").isNotNull()).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.expr("cast(bit_count(prev ^ fh) as bigint)").alias("hamming"),
+    ).filter(F.col("hamming") > SHOT_THRESH)
+
+
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return shot_boundaries_frame(docs)
+
+
+MM_SHOT_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, md5(text) AS dg,
+         unnest(range(0, greatest(octet_length(text::BLOB) // 10, 1)))
+           AS frame_idx
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, frame_idx,
+         xor(
+           ('0x' || substr(md5(dg || ':' ||
+               (frame_idx // {SHOT_LEN})::VARCHAR), 1, 14))::BIGINT,
+           CASE WHEN frame_idx % {JITTER_EVERY} = 1
+                THEN 1::BIGINT << ((doc_id * 7 + frame_idx * 31) % 56)
+                ELSE 0 END
+         ) AS fh
+  FROM frames
+),
+seq AS (
+  SELECT doc_id, frame_idx, fh,
+         lag(fh) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM hashed
+)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       bit_count(xor(prev, fh))::BIGINT AS hamming
+FROM seq
+WHERE prev IS NOT NULL AND bit_count(xor(prev, fh)) > {SHOT_THRESH}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "mm_dhash_pairs": (mm_dhash_pairs, MM_DHASH_PAIRS_SQL),
+    "mm_shot_boundaries": (mm_shot_boundaries, MM_SHOT_SQL),
+}

@@ -2088,3 +2088,35 @@ def test_rrf_consumes_k_bounded_lists(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_dhash_pairs_arrow_once_short_band_rows(spark):
+    """mm_dhash_pairs: the Arrow decode seam runs ONCE on the scan
+    side (plant + bands reuse its output, never re-decode); the band
+    self-join keys on (band, chunk) short rows; text never rides an
+    exchange; no row-at-a-time Python."""
+    from paper2llm_spark.operators.mmdup import mm_dhash_pairs
+
+    plan = _physical(mm_dhash_pairs(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan
+    # every MapInPandas appearance must be the echo of the SAME cached
+    # relation (served by an InMemoryTableScan) — the decode executes
+    # once, not once per consumer
+    assert plan.count("MapInPandas") == plan.count("InMemoryTableScan"), plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "payload" not in line, line
+
+
+def test_shot_boundaries_single_doc_exchange_no_python(spark):
+    """mm_shot_boundaries: frames are generated scan-side (explode of
+    sequence — never materialized wider than 3 bigints) and the ONLY
+    exchange is the hashpartitioning(doc_id) lag window; zero Python."""
+    from paper2llm_spark.operators.mmdup import mm_shot_boundaries
+
+    plan = _physical(mm_shot_boundaries(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    ex = [line for line in plan.splitlines() if "Exchange hashpartitioning" in line]
+    assert len(ex) == 1 and "doc_id" in ex[0], ex
