@@ -569,6 +569,8 @@ _PRIORITY = [
     "search_rrf_fusion",
     "mm_dhash_pairs",
     "mm_shot_boundaries",
+    "search_index_bits",
+    "ml_calibration_bins",
 ]
 
 
@@ -617,7 +619,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webassort, webbenford, webpager, webql, webrp, webseed,
+        mmdup, webassort, webbenford, webcalib, webindexbits, webpager,
+        webql, webrp, webseed,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -659,7 +662,7 @@ def _registry() -> dict[str, tuple]:
                    websinkjsonl, webpager, webcusum, websilhouette,
                    webkcore, websinkbucket, webtriangle, webvad,
                    webwilson, webassort, webseed, webbenford, webql,
-                   mmdup):
+                   mmdup, webcalib, webindexbits):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "search_rrf_fusion",
     "mm_dhash_pairs",
     "mm_shot_boundaries",
+    "search_index_bits",
+    "ml_calibration_bins",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

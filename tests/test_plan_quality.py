@@ -2120,3 +2120,35 @@ def test_shot_boundaries_single_doc_exchange_no_python(spark):
     assert "Join" not in plan
     ex = [line for line in plan.splitlines() if "Exchange hashpartitioning" in line]
     assert len(ex) == 1 and "doc_id" in ex[0], ex
+
+
+def test_index_bits_adds_no_exchange_over_postings(spark):
+    """search_index_bits: every bit sum folds in the projection over
+    the postings frame — the postings dataflow's two hash exchanges
+    (tf groupBy, collect groupBy) are the ONLY exchanges; n_docs
+    re-enters broadcast; zero Python."""
+    from paper2llm_spark.operators.webindex import index_postings
+    from paper2llm_spark.operators.webindexbits import index_bits
+
+    base = _physical(index_postings(spark, "/root/testdata/sf0.01"))
+    plan = _physical(index_bits(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_base = sum("Exchange hashpartitioning" in l for l in base.splitlines())
+    n_bits = sum("Exchange hashpartitioning" in l for l in plan.splitlines())
+    assert n_bits == n_base, (n_base, n_bits)
+    assert "BroadcastExchange" in plan
+
+
+def test_calibration_fuses_signals_one_scan_no_join(spark):
+    """ml_calibration_bins: classifier score and Gopher label are both
+    pure functions of text, fused into ONE scan projection — no join
+    ever carries the label; the global ntile sort is the single
+    corpus-wide movement; zero Python."""
+    from paper2llm_spark.operators.webcalib import calibration_bins
+
+    plan = _physical(calibration_bins(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    # only one parquet scan feeds the whole query
+    assert plan.count("Scan parquet") == 1
