@@ -571,6 +571,8 @@ _PRIORITY = [
     "mm_shot_boundaries",
     "search_index_bits",
     "ml_calibration_bins",
+    "ann_hard_negatives",
+    "corpus_pack_efficiency",
 ]
 
 
@@ -619,8 +621,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webassort, webbenford, webcalib, webindexbits, webpager,
-        webql, webrp, webseed,
+        mmdup, webassort, webbenford, webcalib, webhardneg, webindexbits,
+        webpack, webpager, webql, webrp, webseed,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -662,7 +664,7 @@ def _registry() -> dict[str, tuple]:
                    websinkjsonl, webpager, webcusum, websilhouette,
                    webkcore, websinkbucket, webtriangle, webvad,
                    webwilson, webassort, webseed, webbenford, webql,
-                   mmdup, webcalib, webindexbits):
+                   mmdup, webcalib, webindexbits, webhardneg, webpack):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "mm_shot_boundaries",
     "search_index_bits",
     "ml_calibration_bins",
+    "ann_hard_negatives",
+    "corpus_pack_efficiency",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

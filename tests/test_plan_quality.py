@@ -2152,3 +2152,31 @@ def test_calibration_fuses_signals_one_scan_no_join(spark):
     assert plan.count("Exchange SinglePartition") == 1
     # only one parquet scan feeds the whole query
     assert plan.count("Scan parquet") == 1
+
+
+def test_pack_efficiency_collapses_before_exchange(spark):
+    """corpus_pack_efficiency: all 4 context sizes fold into ONE
+    map-side partial aggregate — a single one-row exchange, output
+    rows exploded from the aggregated row; zero joins/Python."""
+    from paper2llm_spark.operators.webpack import pack_efficiency
+
+    plan = _physical(pack_efficiency(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hard_negatives_broadcast_anchor_pass(spark):
+    """ann_hard_negatives: the anchor set broadcasts onto the vector
+    table (one corpus pass evaluates every pair); the two rankings key
+    their windows on anchor_id short rows; zero Python."""
+    from paper2llm_spark.operators.webhardneg import hard_negatives
+
+    plan = _physical(hard_negatives(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2 and all("anchor_id" in l for l in ex), ex
