@@ -573,6 +573,8 @@ _PRIORITY = [
     "ml_calibration_bins",
     "ann_hard_negatives",
     "corpus_pack_efficiency",
+    "web_host_gini",
+    "ml_pr_curve",
 ]
 
 
@@ -621,8 +623,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webassort, webbenford, webcalib, webhardneg, webindexbits,
-        webpack, webpager, webql, webrp, webseed,
+        mmdup, webassort, webbenford, webcalib, webgini, webhardneg,
+        webindexbits, webpack, webpager, webpr, webql, webrp, webseed,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -664,7 +666,8 @@ def _registry() -> dict[str, tuple]:
                    websinkjsonl, webpager, webcusum, websilhouette,
                    webkcore, websinkbucket, webtriangle, webvad,
                    webwilson, webassort, webseed, webbenford, webql,
-                   mmdup, webcalib, webindexbits, webhardneg, webpack):
+                   mmdup, webcalib, webindexbits, webhardneg, webpack,
+                   webgini, webpr):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "ml_calibration_bins",
     "ann_hard_negatives",
     "corpus_pack_efficiency",
+    "web_host_gini",
+    "ml_pr_curve",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2180,3 +2180,37 @@ def test_hard_negatives_broadcast_anchor_pass(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 2 and all("anchor_id" in l for l in ex), ex
+
+
+def test_host_gini_one_corpus_exchange_text_pruned(spark):
+    """web_host_gini: the corpus collapses in ONE map-side-combinable
+    groupBy(host); rank + fold run on the |hosts|-bounded table with
+    (n, T) broadcast back; text never read."""
+    from paper2llm_spark.operators.webgini import host_gini
+
+    plan = _physical(host_gini(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # the groupBy(host) collapse is persisted: every appearance of its
+    # hash exchange must be the echo of the SAME cached relation
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and all("host" in l for l in ex), ex
+    assert len(ex) == plan.count("InMemoryTableScan"), plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "text" not in line, line
+
+
+def test_pr_curve_collapses_before_exchange(spark):
+    """ml_pr_curve: all thresholds fold into ONE map-side partial
+    aggregate over the fused scan projection; one one-row exchange;
+    zero joins/Python; single scan."""
+    from paper2llm_spark.operators.webpr import pr_curve
+
+    plan = _physical(pr_curve(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Scan parquet") == 1
