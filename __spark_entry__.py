@@ -575,6 +575,8 @@ _PRIORITY = [
     "corpus_pack_efficiency",
     "web_host_gini",
     "ml_pr_curve",
+    "corpus_pps_sample",
+    "ann_pq_distortion",
 ]
 
 
@@ -624,7 +626,8 @@ def _registry() -> dict[str, tuple]:
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
         mmdup, webassort, webbenford, webcalib, webgini, webhardneg,
-        webindexbits, webpack, webpager, webpr, webql, webrp, webseed,
+        webindexbits, webpack, webpager, webpps, webpqdist, webpr,
+        webql, webrp, webseed,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -667,7 +670,7 @@ def _registry() -> dict[str, tuple]:
                    webkcore, websinkbucket, webtriangle, webvad,
                    webwilson, webassort, webseed, webbenford, webql,
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
-                   webgini, webpr):
+                   webgini, webpr, webpps, webpqdist):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "corpus_pack_efficiency",
     "web_host_gini",
     "ml_pr_curve",
+    "corpus_pps_sample",
+    "ann_pq_distortion",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2214,3 +2214,37 @@ def test_pr_curve_collapses_before_exchange(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("Exchange SinglePartition") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_pq_distortion_collapses_before_exchange(spark):
+    """ann_pq_distortion: encode + error are scan-side codegen over the
+    staged distance arrays; all subspaces fold into ONE map-side
+    partial aggregate; one one-row exchange; zero joins/Python."""
+    from paper2llm_spark.operators.webpqdist import pq_distortion
+
+    plan = _physical(pq_distortion(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pps_single_host_collapse_then_bounded_window(spark):
+    """corpus_pps_sample: one corpus exchange (groupBy(host) byte
+    collapse); cumsum + multiplicity run on the |hosts| table with T
+    broadcast; text never read; zero Python."""
+    from paper2llm_spark.operators.webpps import pps_sample
+
+    plan = _physical(pps_sample(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # the groupBy(host) collapse is persisted: every appearance of its
+    # hash exchange is the echo of the SAME cached relation
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and all("host" in l for l in ex), ex
+    assert len(ex) == plan.count("InMemoryTableScan"), plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "text" not in line, line
