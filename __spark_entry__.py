@@ -577,6 +577,8 @@ _PRIORITY = [
     "ml_pr_curve",
     "corpus_pps_sample",
     "ann_pq_distortion",
+    "ml_langid_confusion",
+    "dedup_cluster_stats",
 ]
 
 
@@ -625,7 +627,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webassort, webbenford, webcalib, webgini, webhardneg,
+        mmdup, webassort, webbenford, webcalib, webconfusion, webdupstats,
+        webgini, webhardneg,
         webindexbits, webpack, webpager, webpps, webpqdist, webpr,
         webql, webrp, webseed,
         websilhouette,
@@ -670,7 +673,8 @@ def _registry() -> dict[str, tuple]:
                    webkcore, websinkbucket, webtriangle, webvad,
                    webwilson, webassort, webseed, webbenford, webql,
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
-                   webgini, webpr, webpps, webpqdist):
+                   webgini, webpr, webpps, webpqdist, webconfusion,
+                   webdupstats):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "ml_pr_curve",
     "corpus_pps_sample",
     "ann_pq_distortion",
+    "ml_langid_confusion",
+    "dedup_cluster_stats",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2248,3 +2248,36 @@ def test_pps_single_host_collapse_then_bounded_window(spark):
     for read_schema in plan.split("ReadSchema: ")[1:]:
         line = read_schema.splitlines()[0]
         assert "text" not in line, line
+
+
+def test_langid_confusion_label_rides_scan_row(spark):
+    """ml_langid_confusion: the true label and the prediction come off
+    the SAME scan row (zero joins); one corpus exchange on
+    (lang, pred_lang); row totals via a window on the bounded cell
+    table; zero Python."""
+    from paper2llm_spark.operators.webconfusion import langid_confusion
+
+    plan = _physical(langid_confusion(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exchange 1 (corpus-sized input): groupBy(lang, pred_lang);
+    # exchange 2 (|cells| rows only): the window's partitionBy(lang)
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 2, ex
+    assert any("pred_lang" in l for l in ex), ex
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cluster_stats_adds_short_collapses_only(spark):
+    """dedup_cluster_stats: on top of the composed cluster chain it
+    adds only the groupBy(cluster) and groupBy(size) short-row
+    collapses plus a 1-row broadcast — no new Python stage."""
+    from paper2llm_spark.operators.webdupstats import cluster_stats
+
+    plan = _physical(cluster_stats(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    cl = [l for l in plan.splitlines()
+          if "Exchange hashpartitioning(cluster" in l
+          or "Exchange hashpartitioning(s#" in l]
+    assert cl, plan
