@@ -579,6 +579,8 @@ _PRIORITY = [
     "ann_pq_distortion",
     "ml_langid_confusion",
     "dedup_cluster_stats",
+    "events_markov_transitions",
+    "search_snippets",
 ]
 
 
@@ -629,8 +631,8 @@ def _registry() -> dict[str, tuple]:
         webluhn,
         mmdup, webassort, webbenford, webcalib, webconfusion, webdupstats,
         webgini, webhardneg,
-        webindexbits, webpack, webpager, webpps, webpqdist, webpr,
-        webql, webrp, webseed,
+        webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
+        webpr, webql, webrp, webseed, websnippet,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -674,7 +676,7 @@ def _registry() -> dict[str, tuple]:
                    webwilson, webassort, webseed, webbenford, webql,
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
                    webgini, webpr, webpps, webpqdist, webconfusion,
-                   webdupstats):
+                   webdupstats, webmarkov, websnippet):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

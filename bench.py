@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "ann_pq_distortion",
     "ml_langid_confusion",
     "dedup_cluster_stats",
+    "events_markov_transitions",
+    "search_snippets",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2281,3 +2281,32 @@ def test_cluster_stats_adds_short_collapses_only(spark):
           if "Exchange hashpartitioning(cluster" in l
           or "Exchange hashpartitioning(s#" in l]
     assert cl, plan
+
+
+def test_markov_single_user_window_then_cell_collapse(spark):
+    """events_markov_transitions: one corpus exchange — the
+    hashpartitioning(user_id) lag window with value/props pruned;
+    the cell collapse and row totals ride bounded tables; zero
+    joins/Python."""
+    from paper2llm_spark.operators.webmarkov import markov_transitions
+
+    plan = _physical(markov_transitions(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "value" not in line, line
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("user_id" in l for l in ex), ex
+
+
+def test_snippets_result_set_broadcast_never_corpus(spark):
+    """search_snippets: the window fold runs only on the rank-1 result
+    rows — both the (query, doc) pairs and the query-term arrays reach
+    the doc scan by BROADCAST; no sort-merge join; zero Python."""
+    from paper2llm_spark.operators.websnippet import snippets
+
+    plan = _physical(snippets(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
