@@ -581,6 +581,8 @@ _PRIORITY = [
     "dedup_cluster_stats",
     "events_markov_transitions",
     "search_snippets",
+    "ann_recall_audit",
+    "events_rfm_segments",
 ]
 
 
@@ -632,7 +634,7 @@ def _registry() -> dict[str, tuple]:
         mmdup, webassort, webbenford, webcalib, webconfusion, webdupstats,
         webgini, webhardneg,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
-        webpr, webql, webrp, webseed, websnippet,
+        webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -676,7 +678,8 @@ def _registry() -> dict[str, tuple]:
                    webwilson, webassort, webseed, webbenford, webql,
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
                    webgini, webpr, webpps, webpqdist, webconfusion,
-                   webdupstats, webmarkov, websnippet):
+                   webdupstats, webmarkov, websnippet, webrecall,
+                   webrfm):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

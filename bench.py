@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "dedup_cluster_stats",
     "events_markov_transitions",
     "search_snippets",
+    "ann_recall_audit",
+    "events_rfm_segments",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

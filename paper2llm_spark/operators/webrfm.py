@@ -1,0 +1,119 @@
+"""RFM user segmentation — recency / frequency / monetary scoring
+(Hughes 1994 "Strategic Database Marketing" canonized it; the
+quintile-score segmentation every CRM and product-analytics stack
+ships; in this engine it is the user-level rollup the events table
+exists for, beside sessionize/funnel/cohorts).
+
+Semantics (frozen): per user over the whole events table:
+
+* ``recency_days``  — whole days between the user's last event and
+  the corpus-wide max timestamp (``date_diff`` on the date parts —
+  integer, engine-identical)
+* ``frequency``     — event count
+* ``monetary_cents``— ``sum(floor(value * 100 + 0.5))`` — each
+  event's value frozen to exact cents BEFORE summation, so the
+  aggregate is bigint math, never an order-dependent double sum
+
+Scores: ``r`` = ntile(5) by (recency_days ASC, user_id) — recent
+users score LOW recency_days and get bucket 1, so the classic
+"111 is best" reading holds with 1 as the top bucket; ``f`` =
+ntile(5) by (frequency DESC, user_id); ``m`` = ntile(5) by
+(monetary_cents DESC, user_id).  ``segment = 100*r + 10*f + m``.
+All orderings carry the user_id tiebreak (bit-exact, the CCNet
+ntile discipline).
+
+Plan shape (the scale story): ONE corpus-sized exchange — the
+map-side-combinable ``groupBy(user_id)`` (3 bigint partials per
+user); the corpus max-ts re-enters as a 1-row broadcast; the three
+ntile windows run over the |users|-bounded rollup (global rank
+windows — the documented approx-percentile swap applies at 10^10
+users).  Zero non-broadcast joins, zero Python; ``props`` and
+``event_type`` never read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_TILES = 5
+
+
+def rfm_segments_frame(events: DataFrame) -> DataFrame:
+    per_user = events.select(
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum("cents").cast("bigint").alias("monetary_cents"),
+    )
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    rolled = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.expr("datediff(cast(max_ts as date), cast(last_ts as date))")
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))
+    scored = rolled.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(N_TILES).over(r_w).cast("bigint").alias("r"),
+        F.ntile(N_TILES).over(f_w).cast("bigint").alias("f"),
+        F.ntile(N_TILES).over(m_w).cast("bigint").alias("m"),
+    )
+    return scored.withColumn(
+        "segment", F.expr("100 * r + 10 * f + m").cast("bigint")
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return rfm_segments_frame(events)
+
+
+RFM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(ts) AS last_ts,
+         count(*)::BIGINT AS frequency,
+         sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS monetary_cents
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT max(ts) AS max_ts FROM events),
+rolled AS (
+  SELECT user_id,
+         date_diff('day', last_ts::DATE, max_ts::DATE)::BIGINT
+           AS recency_days,
+         frequency, monetary_cents
+  FROM per_user, horizon
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         ntile({N_TILES}) OVER (ORDER BY recency_days ASC, user_id)::BIGINT
+           AS r,
+         ntile({N_TILES}) OVER (ORDER BY frequency DESC, user_id)::BIGINT
+           AS f,
+         ntile({N_TILES}) OVER (ORDER BY monetary_cents DESC, user_id)::BIGINT
+           AS m
+  FROM rolled
+)
+SELECT user_id, recency_days, frequency, monetary_cents, r, f, m,
+       (100 * r + 10 * f + m)::BIGINT AS segment
+FROM scored
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "events_rfm_segments": (rfm_segments, RFM_SQL),
+}

@@ -2310,3 +2310,31 @@ def test_snippets_result_set_broadcast_never_corpus(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_recall_joins_k_bounded_lists(spark):
+    """ann_recall_audit: the audit layer joins K-bounded rank lists
+    with the truth set broadcast — no sort-merge join anywhere, no
+    Python; the heavy lifting is the composed rankers' own."""
+    from paper2llm_spark.operators.webrecall import ann_recall
+
+    plan = _physical(ann_recall(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_single_user_collapse_props_pruned(spark):
+    """events_rfm_segments: one corpus exchange — the map-side
+    groupBy(user_id) rollup; ntile windows ride the |users| table;
+    props/event_type never read; zero Python."""
+    from paper2llm_spark.operators.webrfm import rfm_segments
+
+    plan = _physical(rfm_segments(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "event_type" not in line, line
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
