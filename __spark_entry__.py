@@ -583,6 +583,8 @@ _PRIORITY = [
     "search_snippets",
     "ann_recall_audit",
     "events_rfm_segments",
+    "text_cer_audit",
+    "sketch_minhash_error",
 ]
 
 
@@ -631,8 +633,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webassort, webbenford, webcalib, webconfusion, webdupstats,
-        webgini, webhardneg,
+        mmdup, webassort, webbenford, webcalib, webcer, webconfusion,
+        webdupstats, webgini, webhardneg, webmherr,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
         webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
         websilhouette,
@@ -679,7 +681,7 @@ def _registry() -> dict[str, tuple]:
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
                    webgini, webpr, webpps, webpqdist, webconfusion,
                    webdupstats, webmarkov, websnippet, webrecall,
-                   webrfm):
+                   webrfm, webcer, webmherr):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "search_snippets",
     "ann_recall_audit",
     "events_rfm_segments",
+    "text_cer_audit",
+    "sketch_minhash_error",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",
