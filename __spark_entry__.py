@@ -585,6 +585,8 @@ _PRIORITY = [
     "events_rfm_segments",
     "text_cer_audit",
     "sketch_minhash_error",
+    "events_lifecycle_states",
+    "search_query_expansion",
 ]
 
 
@@ -634,7 +636,8 @@ def _registry() -> dict[str, tuple]:
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
         mmdup, webassort, webbenford, webcalib, webcer, webconfusion,
-        webdupstats, webgini, webhardneg, webmherr,
+        webdupstats, webexpand, webgini, webhardneg, weblifecycle,
+        webmherr,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
         webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
         websilhouette,
@@ -681,7 +684,7 @@ def _registry() -> dict[str, tuple]:
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
                    webgini, webpr, webpps, webpqdist, webconfusion,
                    webdupstats, webmarkov, websnippet, webrecall,
-                   webrfm, webcer, webmherr):
+                   webrfm, webcer, webmherr, weblifecycle, webexpand):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

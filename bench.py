@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "events_rfm_segments",
     "text_cer_audit",
     "sketch_minhash_error",
+    "events_lifecycle_states",
+    "search_query_expansion",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2368,3 +2368,31 @@ def test_minhash_error_pairs_broadcast_onto_shingles(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lifecycle_single_window_pass_pruned_scan(spark):
+    """events_lifecycle_states: lag and lead share ONE
+    hashpartitioning(user_id) window pass over the distinct activity
+    cells; churn rows are projections of the same pass (no self-join);
+    props/value/event_type never read."""
+    from paper2llm_spark.operators.weblifecycle import lifecycle_states
+
+    plan = _physical(lifecycle_states(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "event_type" not in line, line
+    assert plan.count("Window") <= 2  # one logical pass (AQE may echo)
+
+
+def test_query_expansion_result_set_broadcast(spark):
+    """search_query_expansion: the top-K pairs, the query-term
+    anti-set and the df table all reach the dataflow by BROADCAST —
+    no sort-merge join; zero Python."""
+    from paper2llm_spark.operators.webexpand import query_expansion
+
+    plan = _physical(query_expansion(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
