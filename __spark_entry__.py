@@ -587,6 +587,8 @@ _PRIORITY = [
     "sketch_minhash_error",
     "events_lifecycle_states",
     "search_query_expansion",
+    "search_rank_eval",
+    "events_ab_lift",
 ]
 
 
@@ -635,9 +637,9 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webassort, webbenford, webcalib, webcer, webconfusion,
-        webdupstats, webexpand, webgini, webhardneg, weblifecycle,
-        webmherr,
+        mmdup, webab, webassort, webbenford, webcalib, webcer,
+        webconfusion, webdupstats, webexpand, webgini, webhardneg,
+        weblifecycle, webmherr, webrankeval,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
         webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
         websilhouette,
@@ -684,7 +686,8 @@ def _registry() -> dict[str, tuple]:
                    mmdup, webcalib, webindexbits, webhardneg, webpack,
                    webgini, webpr, webpps, webpqdist, webconfusion,
                    webdupstats, webmarkov, websnippet, webrecall,
-                   webrfm, webcer, webmherr, weblifecycle, webexpand):
+                   webrfm, webcer, webmherr, weblifecycle, webexpand,
+                   webrankeval, webab):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

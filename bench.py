@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "sketch_minhash_error",
     "events_lifecycle_states",
     "search_query_expansion",
+    "search_rank_eval",
+    "events_ab_lift",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

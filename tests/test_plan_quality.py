@@ -2396,3 +2396,31 @@ def test_query_expansion_result_set_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rank_eval_broadcast_qrels_no_python(spark):
+    """search_rank_eval: qrels and totals re-enter the K-bounded rank
+    lists by BROADCAST; the audit adds no sort-merge join and no
+    Python on top of the composed rankers."""
+    from paper2llm_spark.operators.webrankeval import rank_eval
+
+    plan = _physical(rank_eval(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ab_lift_single_user_collapse(spark):
+    """events_ab_lift: one corpus exchange — the map-side
+    groupBy(user_id) conversion rollup with the arm as a pure hash of
+    the key; zero joins, zero Python; value/props/ts never read."""
+    from paper2llm_spark.operators.webab import ab_lift
+
+    plan = _physical(ab_lift(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "value" not in line, line
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1 and "user_id" in ex[0], ex
