@@ -589,6 +589,8 @@ _PRIORITY = [
     "search_query_expansion",
     "search_rank_eval",
     "events_ab_lift",
+    "text_rouge_audit",
+    "events_top_paths",
 ]
 
 
@@ -639,7 +641,7 @@ def _registry() -> dict[str, tuple]:
         webluhn,
         mmdup, webab, webassort, webbenford, webcalib, webcer,
         webconfusion, webdupstats, webexpand, webgini, webhardneg,
-        weblifecycle, webmherr, webrankeval,
+        weblifecycle, webmherr, webpaths, webrankeval, webrouge,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
         webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
         websilhouette,
@@ -687,7 +689,7 @@ def _registry() -> dict[str, tuple]:
                    webgini, webpr, webpps, webpqdist, webconfusion,
                    webdupstats, webmarkov, websnippet, webrecall,
                    webrfm, webcer, webmherr, weblifecycle, webexpand,
-                   webrankeval, webab):
+                   webrankeval, webab, webrouge, webpaths):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "search_query_expansion",
     "search_rank_eval",
     "events_ab_lift",
+    "text_rouge_audit",
+    "events_top_paths",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2424,3 +2424,29 @@ def test_ab_lift_single_user_collapse(spark):
         assert "props" not in line and "value" not in line, line
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1 and "user_id" in ex[0], ex
+
+
+def test_rouge_audit_join_short_rows_no_python(spark):
+    """text_rouge_audit: the audit joins the summarizer's per-doc
+    result onto the re-segmented scan on doc_id — short rows both
+    sides; zero Python anywhere."""
+    from paper2llm_spark.operators.webrouge import rouge_audit
+
+    plan = _physical(rouge_audit(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_paths_capped_before_string_no_joins(spark):
+    """events_top_paths: one hashpartitioning(user_id) session pass
+    (props/value pruned), cap applied by slice before the path string
+    exists, top-N compiles to TakeOrderedAndProject; total re-enters
+    broadcast; zero Python."""
+    from paper2llm_spark.operators.webpaths import top_paths
+
+    plan = _physical(top_paths(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "value" not in line, line
