@@ -591,6 +591,8 @@ _PRIORITY = [
     "events_ab_lift",
     "text_rouge_audit",
     "events_top_paths",
+    "corpus_span_corruption",
+    "events_cohort_ltv",
 ]
 
 
@@ -641,7 +643,8 @@ def _registry() -> dict[str, tuple]:
         webluhn,
         mmdup, webab, webassort, webbenford, webcalib, webcer,
         webconfusion, webdupstats, webexpand, webgini, webhardneg,
-        weblifecycle, webmherr, webpaths, webrankeval, webrouge,
+        weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
+        webspan,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
         webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
         websilhouette,
@@ -689,7 +692,8 @@ def _registry() -> dict[str, tuple]:
                    webgini, webpr, webpps, webpqdist, webconfusion,
                    webdupstats, webmarkov, websnippet, webrecall,
                    webrfm, webcer, webmherr, weblifecycle, webexpand,
-                   webrankeval, webab, webrouge, webpaths):
+                   webrankeval, webab, webrouge, webpaths, webspan,
+                   webltv):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "events_ab_lift",
     "text_rouge_audit",
     "events_top_paths",
+    "corpus_span_corruption",
+    "events_cohort_ltv",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2450,3 +2450,31 @@ def test_top_paths_capped_before_string_no_joins(spark):
     for read_schema in plan.split("ReadSchema: ")[1:]:
         line = read_schema.splitlines()[0]
         assert "props" not in line and "value" not in line, line
+
+
+def test_span_corruption_zero_exchange_scan_fold(spark):
+    """corpus_span_corruption: starts, mask union and sentinel fold are
+    all codegen HOFs in ONE scan projection — zero exchanges beyond
+    the input repartition, zero joins, zero Python."""
+    from paper2llm_spark.operators.webspan import span_corruption
+
+    plan = _physical(span_corruption(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cohort_ltv_shares_user_partitioning(spark):
+    """events_cohort_ltv: the (user, week) rollup and the min-week
+    cohort window share hashpartitioning(user_id); later stages ride
+    |weeks|^2 tables with sizes broadcast; props/event_type pruned."""
+    from paper2llm_spark.operators.webltv import cohort_ltv
+
+    plan = _physical(cohort_ltv(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "event_type" not in line, line
