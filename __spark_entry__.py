@@ -593,6 +593,8 @@ _PRIORITY = [
     "events_top_paths",
     "corpus_span_corruption",
     "events_cohort_ltv",
+    "web_hyperball_audit",
+    "corpus_self_bleu",
 ]
 
 
@@ -641,12 +643,14 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webab, webassort, webbenford, webcalib, webcer,
-        webconfusion, webdupstats, webexpand, webgini, webhardneg,
+        mmdup, webab, webassort, webballaudit, webbenford, webcalib,
+        webcer, webconfusion, webdupstats, webexpand, webgini,
+        webhardneg,
         weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
         webspan,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
-        webpr, webql, webrecall, webrfm, webrp, webseed, websnippet,
+        webpr, webql, webrecall, webrfm, webrp, webseed, webselfbleu,
+        websnippet,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -693,7 +697,7 @@ def _registry() -> dict[str, tuple]:
                    webdupstats, webmarkov, websnippet, webrecall,
                    webrfm, webcer, webmherr, weblifecycle, webexpand,
                    webrankeval, webab, webrouge, webpaths, webspan,
-                   webltv):
+                   webltv, webballaudit, webselfbleu):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "events_top_paths",
     "corpus_span_corruption",
     "events_cohort_ltv",
+    "web_hyperball_audit",
+    "corpus_self_bleu",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

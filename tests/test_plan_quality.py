@@ -2478,3 +2478,26 @@ def test_cohort_ltv_shares_user_partitioning(spark):
     for read_schema in plan.split("ReadSchema: ")[1:]:
         line = read_schema.splitlines()[0]
         assert "props" not in line and "event_type" not in line, line
+
+
+def test_ball_audit_short_row_joins_no_python(spark):
+    """web_hyperball_audit: exact balls via short-row (node, member)
+    equi-joins on the checkpointed edges; the composed HyperBall
+    rounds do the sketch work; zero Python."""
+    from paper2llm_spark.operators.webballaudit import ball_audit
+
+    plan = _physical(ball_audit(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_self_bleu_sample_filter_pushed(spark):
+    """corpus_self_bleu: the sample predicate reaches the parquet scan;
+    the gram df table re-enters by broadcast; zero Python."""
+    from paper2llm_spark.operators.webselfbleu import self_bleu
+
+    plan = _physical(self_bleu(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "doc_id" in pushed, pushed
+    assert "BroadcastHashJoin" in plan
