@@ -595,6 +595,8 @@ _PRIORITY = [
     "events_cohort_ltv",
     "web_hyperball_audit",
     "corpus_self_bleu",
+    "corpus_doremi_weights",
+    "events_stickiness",
 ]
 
 
@@ -644,13 +646,13 @@ def _registry() -> dict[str, tuple]:
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
         mmdup, webab, webassort, webballaudit, webbenford, webcalib,
-        webcer, webconfusion, webdupstats, webexpand, webgini,
-        webhardneg,
+        webcer, webconfusion, webdoremi, webdupstats, webexpand,
+        webgini, webhardneg,
         weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
         webspan,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
         webpr, webql, webrecall, webrfm, webrp, webseed, webselfbleu,
-        websnippet,
+        websnippet, webstickiness,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -697,7 +699,8 @@ def _registry() -> dict[str, tuple]:
                    webdupstats, webmarkov, websnippet, webrecall,
                    webrfm, webcer, webmherr, weblifecycle, webexpand,
                    webrankeval, webab, webrouge, webpaths, webspan,
-                   webltv, webballaudit, webselfbleu):
+                   webltv, webballaudit, webselfbleu, webdoremi,
+                   webstickiness):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "events_cohort_ltv",
     "web_hyperball_audit",
     "corpus_self_bleu",
+    "corpus_doremi_weights",
+    "events_stickiness",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2501,3 +2501,28 @@ def test_self_bleu_sample_filter_pushed(spark):
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     assert "doc_id" in pushed, pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_doremi_collapses_to_source_rows(spark):
+    """corpus_doremi_weights: the LM pipeline is the composed cost;
+    the mixture math lives on |sources| rows with global mean and
+    normalizer as 1-row broadcasts; zero Python."""
+    from paper2llm_spark.operators.webdoremi import doremi_weights
+
+    plan = _physical(doremi_weights(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_stickiness_single_grid_collapse(spark):
+    """events_stickiness: one corpus exchange — the (user, week)
+    distinct; the 4x MAU expansion rides the collapsed grid and the
+    week universe joins broadcast; props/value/event_type pruned."""
+    from paper2llm_spark.operators.webstickiness import stickiness
+
+    plan = _physical(stickiness(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "event_type" not in line, line
