@@ -597,6 +597,8 @@ _PRIORITY = [
     "corpus_self_bleu",
     "corpus_doremi_weights",
     "events_stickiness",
+    "privacy_canary_audit",
+    "events_seasonal_naive",
 ]
 
 
@@ -646,13 +648,13 @@ def _registry() -> dict[str, tuple]:
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
         mmdup, webab, webassort, webballaudit, webbenford, webcalib,
-        webcer, webconfusion, webdoremi, webdupstats, webexpand,
-        webgini, webhardneg,
+        webcanary, webcer, webconfusion, webdoremi, webdupstats,
+        webexpand, webgini, webhardneg,
         weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
         webspan,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
-        webpr, webql, webrecall, webrfm, webrp, webseed, webselfbleu,
-        websnippet, webstickiness,
+        webpr, webql, webrecall, webrfm, webrp, webseasonal, webseed,
+        webselfbleu, websnippet, webstickiness,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -700,7 +702,7 @@ def _registry() -> dict[str, tuple]:
                    webrfm, webcer, webmherr, weblifecycle, webexpand,
                    webrankeval, webab, webrouge, webpaths, webspan,
                    webltv, webballaudit, webselfbleu, webdoremi,
-                   webstickiness):
+                   webstickiness, webcanary, webseasonal):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "corpus_self_bleu",
     "corpus_doremi_weights",
     "events_stickiness",
+    "privacy_canary_audit",
+    "events_seasonal_naive",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

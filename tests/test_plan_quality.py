@@ -2526,3 +2526,28 @@ def test_stickiness_single_grid_collapse(spark):
     for read_schema in plan.split("ReadSchema: ")[1:]:
         line = read_schema.splitlines()[0]
         assert "props" not in line and "event_type" not in line, line
+
+
+def test_canary_plant_is_narrow_union_no_python(spark):
+    """privacy_canary_audit: the plant is a narrow union feeding the
+    composed span pipeline's own exchanges; the audit joins per-doc
+    rollups on doc_id short rows; zero Python."""
+    from paper2llm_spark.operators.webcanary import canary_audit
+
+    plan = _physical(canary_audit(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Union" in plan
+
+
+def test_seasonal_naive_single_type_hour_collapse(spark):
+    """events_seasonal_naive: one corpus exchange — the map-side
+    groupBy(event_type, hour); the dense grid / shift / scoring ride
+    broadcast small tables; props/value/user_id pruned."""
+    from paper2llm_spark.operators.webseasonal import seasonal_naive
+
+    plan = _physical(seasonal_naive(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    for read_schema in plan.split("ReadSchema: ")[1:]:
+        line = read_schema.splitlines()[0]
+        assert "props" not in line and "user_id" not in line, line
