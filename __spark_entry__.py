@@ -599,6 +599,8 @@ _PRIORITY = [
     "events_stickiness",
     "privacy_canary_audit",
     "events_seasonal_naive",
+    "web_rank_correlation",
+    "mm_shot_stats",
 ]
 
 
@@ -653,8 +655,9 @@ def _registry() -> dict[str, tuple]:
         weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
         webspan,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
-        webpr, webql, webrecall, webrfm, webrp, webseasonal, webseed,
-        webselfbleu, websnippet, webstickiness,
+        webpr, webql, webrankcorr, webrecall, webrfm, webrp,
+        webseasonal, webseed, webselfbleu, webshotstats, websnippet,
+        webstickiness,
         websilhouette,
         websinkbucket,
         webtriangle, webvad, webwilson,
@@ -702,7 +705,8 @@ def _registry() -> dict[str, tuple]:
                    webrfm, webcer, webmherr, weblifecycle, webexpand,
                    webrankeval, webab, webrouge, webpaths, webspan,
                    webltv, webballaudit, webselfbleu, webdoremi,
-                   webstickiness, webcanary, webseasonal):
+                   webstickiness, webcanary, webseasonal, webrankcorr,
+                   webshotstats):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "events_stickiness",
     "privacy_canary_audit",
     "events_seasonal_naive",
+    "web_rank_correlation",
+    "mm_shot_stats",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

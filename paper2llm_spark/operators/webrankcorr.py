@@ -1,0 +1,127 @@
+"""Centrality rank agreement — Spearman's rho + top-K overlap
+between PageRank and the HITS scores (Spearman 1904; comparing
+centralities by rank correlation is the standard web-graph
+methodology — e.g. the PageRank-vs-indegree studies of Upstill/
+Craswell and the Common Crawl ranking reports — because crawl
+prioritization consumes RANKS, not raw scores).
+
+Composes the registered `web_pagerank` and `web_hits_scores`
+verbatim over the same deterministic graph — one driver hash
+re-certifies both iterative solvers and quantifies how much they
+agree.
+
+Semantics (frozen): ranks by ``(score desc, doc_id)`` (bit-exact
+orderings on the exact-integer scores); for each pair
+(``pr_vs_auth``, ``pr_vs_hub``): ``sum_d2 = Σ (r_a - r_b)^2``
+exact bigint; ``rho_micro = floor((1 - 6*S/D) * 1e6 + 0.5)`` with
+``D = n(n²-1)`` as ONE shape-identical double expression (the
+webwilson literal-surface discipline; exact while D < 2^53, i.e.
+n <= ~2*10^5 — beyond that the audit runs on a rank sample,
+documented); ``top{K}_overlap`` = |top-20 ∩ top-20| exact.
+
+Plan shape (the scale story): the two solvers do the graph work
+(their own plan-asserted shapes); the audit joins per-node score
+tables on doc_id, ranks them with two global windows over (node,
+bigint) short rows (the CCNet single-partition note applies), and
+collapses to 2 output rows.  Zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .webgraph import (
+    HITS_SQL, PAGERANK_SQL, _nodes, hits_frame, pagerank_frame,
+    synth_edges,
+)
+
+MICRO = 1_000_000
+TOP_K = 20
+
+
+def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_nodes = nodes.count()
+    edges = synth_edges(nodes, n_nodes).localCheckpoint()
+    pr = pagerank_frame(nodes, edges)
+    ht = hits_frame(nodes, edges)
+    joined = pr.join(ht, "doc_id")
+
+    def ranked(col: str, name: str) -> DataFrame:
+        w = Window.orderBy(F.col(col).desc(), F.col("doc_id"))
+        return joined.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias(name)
+        )
+
+    r = (
+        ranked("rank_micro", "r_pr")
+        .join(ranked("auth_micro", "r_auth"), "doc_id")
+        .join(ranked("hub_micro", "r_hub"), "doc_id")
+    )
+    pairs = []
+    for name, col in (("pr_vs_auth", "r_auth"), ("pr_vs_hub", "r_hub")):
+        agg = r.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr(f"(r_pr - {col}) * (r_pr - {col})"))
+            .cast("bigint").alias("sum_d2"),
+            F.sum(
+                F.expr(f"if(r_pr <= {TOP_K} and {col} <= {TOP_K}, 1, 0)")
+            ).cast("bigint").alias("top_overlap"),
+        ).select(
+            F.lit(name).alias("pair"),
+            "n",
+            "sum_d2",
+            F.expr(
+                f"cast(floor((1.0 - 6.0 * sum_d2 /"
+                f" (cast(n as double) * (cast(n as double)"
+                f" * cast(n as double) - 1.0))) * 1e6 + 0.5) as bigint)"
+            ).alias("rho_micro"),
+            "top_overlap",
+        )
+        pairs.append(agg)
+    return pairs[0].unionByName(pairs[1])
+
+
+RANK_CORR_SQL = f"""
+WITH pr AS (SELECT doc_id, rank_micro FROM ({PAGERANK_SQL})),
+ht AS (SELECT doc_id, hub_micro, auth_micro FROM ({HITS_SQL})),
+joined AS (SELECT pr.doc_id, pr.rank_micro, ht.hub_micro, ht.auth_micro
+           FROM pr JOIN ht USING (doc_id)),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY rank_micro DESC, doc_id)::BIGINT
+           AS r_pr,
+         row_number() OVER (ORDER BY auth_micro DESC, doc_id)::BIGINT
+           AS r_auth,
+         row_number() OVER (ORDER BY hub_micro DESC, doc_id)::BIGINT
+           AS r_hub
+  FROM joined
+),
+a1 AS (
+  SELECT 'pr_vs_auth' AS pair, count(*)::BIGINT AS n,
+         sum((r_pr - r_auth) * (r_pr - r_auth))::BIGINT AS sum_d2,
+         sum(CASE WHEN r_pr <= {TOP_K} AND r_auth <= {TOP_K}
+             THEN 1 ELSE 0 END)::BIGINT AS top_overlap
+  FROM r
+),
+a2 AS (
+  SELECT 'pr_vs_hub' AS pair, count(*)::BIGINT AS n,
+         sum((r_pr - r_hub) * (r_pr - r_hub))::BIGINT AS sum_d2,
+         sum(CASE WHEN r_pr <= {TOP_K} AND r_hub <= {TOP_K}
+             THEN 1 ELSE 0 END)::BIGINT AS top_overlap
+  FROM r
+),
+u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+SELECT pair, n, sum_d2,
+       floor((1.0 - 6.0 * sum_d2 /
+              (n::DOUBLE * (n::DOUBLE * n::DOUBLE - 1.0))) * 1e6
+             + 0.5)::BIGINT AS rho_micro,
+       top_overlap
+FROM u
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "web_rank_correlation": (rank_correlation, RANK_CORR_SQL),
+}

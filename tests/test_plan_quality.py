@@ -2551,3 +2551,25 @@ def test_seasonal_naive_single_type_hour_collapse(spark):
     for read_schema in plan.split("ReadSchema: ")[1:]:
         line = read_schema.splitlines()[0]
         assert "props" not in line and "user_id" not in line, line
+
+
+def test_rank_corr_short_row_windows_no_python(spark):
+    """web_rank_correlation: the solvers do the graph work; the audit
+    ranks (node, bigint) short rows and collapses to 2 rows; zero
+    Python."""
+    from paper2llm_spark.operators.webrankcorr import rank_correlation
+
+    plan = _physical(rank_correlation(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shot_stats_composed_window_plus_short_join(spark):
+    """mm_shot_stats: the composed detector's doc_id window is the
+    cost; the audit adds a bounded per-doc boundary collect and a
+    doc_id left join; zero Python; no sort-merge join."""
+    from paper2llm_spark.operators.webshotstats import shot_stats
+
+    plan = _physical(shot_stats(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("doc_id" in l for l in ex), ex
