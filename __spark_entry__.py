@@ -601,6 +601,8 @@ _PRIORITY = [
     "events_seasonal_naive",
     "web_rank_correlation",
     "mm_shot_stats",
+    "corpus_fertility_by_lang",
+    "dedup_chain_audit",
 ]
 
 
@@ -650,8 +652,8 @@ def _registry() -> dict[str, tuple]:
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
         mmdup, webab, webassort, webballaudit, webbenford, webcalib,
-        webcanary, webcer, webconfusion, webdoremi, webdupstats,
-        webexpand, webgini, webhardneg,
+        webcanary, webcer, webchain, webconfusion, webdoremi,
+        webdupstats, webexpand, webfertility, webgini, webhardneg,
         weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
         webspan,
         webindexbits, webmarkov, webpack, webpager, webpps, webpqdist,
@@ -706,7 +708,7 @@ def _registry() -> dict[str, tuple]:
                    webrankeval, webab, webrouge, webpaths, webspan,
                    webltv, webballaudit, webselfbleu, webdoremi,
                    webstickiness, webcanary, webseasonal, webrankcorr,
-                   webshotstats):
+                   webshotstats, webfertility, webchain):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "events_seasonal_naive",
     "web_rank_correlation",
     "mm_shot_stats",
+    "corpus_fertility_by_lang",
+    "dedup_chain_audit",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2573,3 +2573,24 @@ def test_shot_stats_composed_window_plus_short_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert all("doc_id" in l for l in ex), ex
+
+
+def test_fertility_rollup_map_side_no_python(spark):
+    """corpus_fertility_by_lang: the BPE apply is the composed cost;
+    the rollup joins per-doc rows on doc_id and collapses map-side to
+    |langs| rows; zero Python."""
+    from paper2llm_spark.operators.webfertility import fertility_by_lang
+
+    plan = _physical(fertility_by_lang(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chain_audit_broadcast_verified_pairs(spark):
+    """dedup_chain_audit: within-cluster pairs are enumerated on the
+    band-capped cluster membership; the verified pair list re-enters
+    by broadcast; zero Python."""
+    from paper2llm_spark.operators.webchain import chain_audit
+
+    plan = _physical(chain_audit(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
