@@ -44,15 +44,23 @@ N_FRAMES = 8
 ENERGY_MIN = 10_000
 
 
-def _frame_energy(doc_col, f: int):
-    """Exact bigint energy of frame f: fold over FRAME synthesized
-    samples inside one aggregate HOF."""
-    amp = F.when(
+def _frame_amp(doc_col, f: int):
+    """Frame f's amplitude — ONE md5 per (doc, frame)."""
+    return F.when(
         portable_hash60(
             F.concat(doc_col.cast("string"), F.lit(f":f{f}"))
         ) % 3 != 0,
         F.lit(1000),
     ).otherwise(F.lit(10))
+
+
+def _frame_energy(doc_col, amp, f: int):
+    """Exact bigint energy of frame f: fold over FRAME synthesized
+    samples inside one aggregate HOF.  ``amp`` must be a STAGED bound
+    attribute — HOF lambdas are interpreted with no CSE, so an inlined
+    amp expression re-runs its md5 once PER SAMPLE (measured ~2x the
+    whole query at sf0.1; the webindex staging lesson applies to
+    scalar subexpressions too, not just arrays)."""
     return F.aggregate(
         F.sequence(F.lit(f * FRAME), F.lit((f + 1) * FRAME - 1)),
         F.lit(0).cast("bigint"),
@@ -68,10 +76,19 @@ def _frame_energy(doc_col, f: int):
 
 
 def vad_frame(docs: DataFrame) -> DataFrame:
-    energies = docs.select(
+    staged_amps = docs.select(
+        "doc_id",
+        *[
+            _frame_amp(F.col("doc_id"), f).alias(f"amp{f}")
+            for f in range(N_FRAMES)
+        ],
+    )
+    energies = staged_amps.select(
         "doc_id",
         F.array(*[
-            F.floor(_frame_energy(F.col("doc_id"), f)).cast("bigint")
+            F.floor(
+                _frame_energy(F.col("doc_id"), F.col(f"amp{f}"), f)
+            ).cast("bigint")
             for f in range(N_FRAMES)
         ]).alias("es"),
     )
