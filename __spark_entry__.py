@@ -603,6 +603,7 @@ _PRIORITY = [
     "mm_shot_stats",
     "corpus_fertility_by_lang",
     "dedup_chain_audit",
+    "sketch_bloom_fpr",
 ]
 
 
@@ -651,7 +652,8 @@ def _registry() -> dict[str, tuple]:
         webamp, webccalign, webdomdepth, webhreflang, webtitlespam, webwdc,
         webams, webcusum, webdecon, webkcenter, webkcore, webkn, weblpa,
         webluhn,
-        mmdup, webab, webassort, webballaudit, webbenford, webcalib,
+        mmdup, webab, webassort, webballaudit, webbenford, webbloomfpr,
+        webcalib,
         webcanary, webcer, webchain, webconfusion, webdoremi,
         webdupstats, webexpand, webfertility, webgini, webhardneg,
         weblifecycle, webltv, webmherr, webpaths, webrankeval, webrouge,
@@ -708,7 +710,7 @@ def _registry() -> dict[str, tuple]:
                    webrankeval, webab, webrouge, webpaths, webspan,
                    webltv, webballaudit, webselfbleu, webdoremi,
                    webstickiness, webcanary, webseasonal, webrankcorr,
-                   webshotstats, webfertility, webchain):
+                   webshotstats, webfertility, webchain, webbloomfpr):
         merged.update(module.QUERIES)
     merged["extract_html_pipeline"] = (_extract_pipeline_query, _EXTRACT_PIPELINE_SQL)
     merged["extract_html_pipeline_desc"] = (

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "mm_shot_stats",
     "corpus_fertility_by_lang",
     "dedup_chain_audit",
+    "sketch_bloom_fpr",
     "web_salsa_scores",
     "web_link_reciprocity",
     "text_lexical_diversity",

@@ -2594,3 +2594,15 @@ def test_chain_audit_broadcast_verified_pairs(spark):
     plan = _physical(chain_audit(spark, "/root/testdata/sf0.01"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_fpr_broadcast_digests_one_row_out(spark):
+    """sketch_bloom_fpr: the composed prefilter's broadcast bit-set
+    join probes; the audit anti-joins the broadcast member digests and
+    collapses to one row; zero Python."""
+    from paper2llm_spark.operators.webbloomfpr import bloom_fpr
+
+    plan = _physical(bloom_fpr(spark, "/root/testdata/sf0.01"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
