@@ -25,17 +25,27 @@ Adjacent speech frames merge into SEGMENTS (gaps-and-islands:
 Output per doc: ``(doc_id, n_frames, n_speech, n_segments,
 longest_seg)``.
 
-Plan shape (the scale story): synthesis + framing + the energy fold
-are array HOFs in the scan projection — sample rows NEVER exist as
-rows, only the 8 frame energies per doc do; the island merge is one
-window + groupBy over (doc, speech-frame) short rows.  One exchange
-family keyed by doc_id; zero Python (plan-asserted).
+Plan shape (the scale story): the synthesis + energy fold run in
+ONE vectorized mapInPandas Arrow pass (the webcdc seam discipline:
+the declarative HOF fold paid the interpreted ~10µs/sample tax —
+measured 56 s for 6.4M samples at sf0.1 — while the Arrow batch
+does the same 8 energies per doc in bulk Python; this is ALSO where
+a real PCM decoder plugs in, so the seam is the production shape
+twice over); sample rows NEVER exist as rows, only the 8 frame
+energies per doc do; the island merge is one window + groupBy over
+(doc, speech-frame) short rows, exchanges keyed by doc_id
+(plan-asserted: exactly one MapInPandas, no row-at-a-time Python).
 """
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import portable_hash60, sql_hash60
 
@@ -44,54 +54,44 @@ N_FRAMES = 8
 ENERGY_MIN = 10_000
 
 
-def _frame_amp(doc_col, f: int):
-    """Frame f's amplitude — ONE md5 per (doc, frame)."""
-    return F.when(
-        portable_hash60(
-            F.concat(doc_col.cast("string"), F.lit(f":f{f}"))
-        ) % 3 != 0,
-        F.lit(1000),
-    ).otherwise(F.lit(10))
+def _h60(sv: str) -> int:
+    return int(hashlib.md5(sv.encode()).hexdigest()[:15], 16)
 
 
-def _frame_energy(doc_col, amp, f: int):
-    """Exact bigint energy of frame f: fold over FRAME synthesized
-    samples inside one aggregate HOF.  ``amp`` must be a STAGED bound
-    attribute — HOF lambdas are interpreted with no CSE, so an inlined
-    amp expression re-runs its md5 once PER SAMPLE (measured ~2x the
-    whole query at sf0.1; the webindex staging lesson applies to
-    scalar subexpressions too, not just arrays)."""
-    return F.aggregate(
-        F.sequence(F.lit(f * FRAME), F.lit((f + 1) * FRAME - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, i: acc + (
-            lambda s: s * s
-        )(
-            portable_hash60(
-                F.concat(doc_col.cast("string"), F.lit(":s"),
-                         i.cast("string"))
-            ) % (2 * amp + 1) - amp
-        ),
-    ) / FRAME
+def _doc_energies(doc_id: int) -> list[int]:
+    """The frozen synthesis, replayed in bulk Python (identical to the
+    DuckDB dual's per-sample md5 arithmetic)."""
+    out = []
+    for f in range(N_FRAMES):
+        amp = 1000 if _h60(f"{doc_id}:f{f}") % 3 != 0 else 10
+        m = 2 * amp + 1
+        acc = 0
+        for i in range(f * FRAME, (f + 1) * FRAME):
+            sv = _h60(f"{doc_id}:s{i}") % m - amp
+            acc += sv * sv
+        out.append(acc // FRAME)
+    return out
+
+
+_ES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("es", T.ArrayType(T.LongType())),
+])
+
+
+def _energies_arrow(docs: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = [int(d) for d in batch["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "es": [_doc_energies(d) for d in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=_ES_SCHEMA)
 
 
 def vad_frame(docs: DataFrame) -> DataFrame:
-    staged_amps = docs.select(
-        "doc_id",
-        *[
-            _frame_amp(F.col("doc_id"), f).alias(f"amp{f}")
-            for f in range(N_FRAMES)
-        ],
-    )
-    energies = staged_amps.select(
-        "doc_id",
-        F.array(*[
-            F.floor(
-                _frame_energy(F.col("doc_id"), F.col(f"amp{f}"), f)
-            ).cast("bigint")
-            for f in range(N_FRAMES)
-        ]).alias("es"),
-    )
+    energies = _energies_arrow(docs)
     frames = energies.select(
         "doc_id",
         F.posexplode("es").alias("f", "e"),
@@ -113,7 +113,9 @@ def vad_frame(docs: DataFrame) -> DataFrame:
         F.max("seg_len").cast("bigint").alias("longest_seg"),
     )
     return (
-        energies.select("doc_id")
+        # doc universe from the INPUT, not from energies — re-using the
+        # Arrow output here would run the synthesis pass a second time
+        docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
