@@ -21,11 +21,15 @@ Semantics (frozen):
 * ``mm_dhash_pairs`` — near-dup image pairs at hamming radius
   ``HAM_MAX = 3`` over the 56-bit dHash.  The corpus is the base
   hash table PLUS planted variants (every ``doc_id % 7 == 0`` image
-  re-ingested as ``doc_id + PLANT_OFFSET`` with ``k = doc_id % 4``
-  deterministic bit flips at positions ``(doc_id*13 + i*17) % 56``,
-  i = 1..k) — the synthetic corpus has no natural near-dup images,
-  so an unplanted gate would be vacuous; flip positions may collide
-  (XOR cancels), which both engines compute identically.  Candidate
+  re-ingested as ``-(doc_id + 1)`` — the NEGATIVE id namespace is
+  disjoint from real ids at ANY corpus size, unlike an additive
+  offset which collides once ids pass it (round-4 advisor note) —
+  with ``k = doc_id % 4`` deterministic bit flips at positions
+  ``(doc_id*13 + i*17) % 56``, i = 1..k) — the synthetic corpus has
+  no natural near-dup images, so an unplanted gate would be
+  vacuous; flip positions may collide (XOR cancels), which both
+  engines compute identically.  Planted ids sort BELOW their base,
+  so a planted pair emits as ``(doc_a=-(d+1), doc_b=d)``.  Candidate
   generation is the pigeonhole band join: 4 x 14-bit chunks, any
   pair within hamming 3 differs in at most 3 chunks so it collides
   on at least one (exact recall at radius 3, the same guarantee
@@ -66,7 +70,6 @@ from pyspark.sql import functions as F
 from .multimodal import MM_DHASH_SQL, extract_dhash
 
 HAM_MAX = 3
-PLANT_OFFSET = 1_000_000
 BAND_BITS = 14
 N_BANDS = 4
 _BAND_MASK = (1 << BAND_BITS) - 1
@@ -83,11 +86,18 @@ _MASK_EXPR = (
 )
 
 
+def plant_id(doc_id: int) -> int:
+    """Planted-variant id for a base doc_id: the negative namespace
+    ``-(doc_id + 1)`` — disjoint from real (nonnegative) ids at any
+    corpus size."""
+    return -(doc_id + 1)
+
+
 def plant_variants(hashes: DataFrame) -> DataFrame:
     """(doc_id, dhash56) -> the planted re-ingest rows (see module
     docstring for the frozen flip rule)."""
     return hashes.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).cast("bigint").alias("doc_id"),
         F.expr(f"dhash56 ^ ({_MASK_EXPR})").cast("bigint").alias("dhash56"),
     )
 
@@ -128,21 +138,22 @@ def pairs_from_hashes(hashes: DataFrame) -> DataFrame:
 
 
 def mm_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    # Persist the hash table: the plant branch AND both sides of the
-    # band self-join consume it, and the Arrow decode seam leaves no
-    # exchange for AQE to reuse — without the persist the (stub)
-    # decoder would run 4x per image.  16 bytes/image; at 10^12
-    # images a production run writes the hash table between stages
-    # (the simhash_pairs discipline, dedup.py).
+    # Materialize the hash table once: the plant branch AND both sides
+    # of the band self-join consume it, and the Arrow decode seam
+    # leaves no exchange for AQE to reuse — without this the (stub)
+    # decoder would run 4x per image.  ``localCheckpoint`` (lazy)
+    # stores MEMORY_AND_DISK like persist but is released by the
+    # ContextCleaner once the result is dropped — a bench session
+    # running hundreds of queries never accumulates pinned cache
+    # (round-4 advisor note; a production run writes the hash table
+    # between stages, the simhash_pairs discipline in dedup.py).
     base = (
         extract_dhash(docs)
         .select("doc_id", "dhash56")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     return pairs_from_hashes(base.unionByName(plant_variants(base)))
 
@@ -159,7 +170,7 @@ masks AS (
 stacked AS (
   SELECT doc_id, dhash56 FROM h
   UNION ALL
-  SELECT h.doc_id + {PLANT_OFFSET} AS doc_id,
+  SELECT -(h.doc_id + 1) AS doc_id,
          xor(h.dhash56, coalesce(m.mask, 0)) AS dhash56
   FROM h LEFT JOIN masks m USING (doc_id) WHERE h.doc_id % 7 = 0
 ),

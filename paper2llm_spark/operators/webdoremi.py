@@ -12,13 +12,22 @@ re-certifies the LM chain and derives the mixture table from it.
 Semantics (frozen): per source over the LM-scored docs:
 ``mean_nll_micro = total_nll div total_tokens`` (token-weighted,
 exact); ``excess_micro = mean_nll_micro - global_mean_micro``
-(signed).  Weights: each source's un-normalized mass is frozen
-FIRST — ``e_micro = floor(exp(excess_micro / 1e6) * 1e6 + 0.5)``,
-ONE shape-identical double exp per source (the webwilson literal-
-surface discipline; never a float summed across rows) — then
-``weight_micro = e_micro * 1e6 div sum(e_micro)`` is exact integer
-normalization.  Harder domains (positive excess) get more weight,
-the DoReMi direction at temperature 1.
+(signed).  Weights: each source's un-normalized mass is an
+INTEGER-ONLY fixed-point exponential — no libm seam at all
+(round-4 advisor note: a raw ``exp()`` evaluated independently by
+JVM and DuckDB can differ by an ulp on another platform and flip
+the rounded bigint): clamp ``x = excess_micro`` to ±``EXP_CLAMP``
+(10 nats; masses saturate, the DoReMi temperature knob's natural
+range), take ``ax = |x|``, run the truncated Taylor series
+``t_0 = 1e6; t_k = t_{k-1}·ax div (k·1e6)``, ``S = Σ_{0..K} t_k``
+(K = 40; every intermediate is a nonnegative bigint, so Spark's
+truncate-toward-zero ``div`` == DuckDB's floor ``//``, and the
+largest product ``t_{k-1}·ax < 2^62``), and set ``e_micro = S``
+for ``x >= 0`` else ``1e12 div S`` — bit-identical in any engine
+with 64-bit integer arithmetic.  Then ``weight_micro = e_micro *
+1e6 div sum(e_micro)`` is exact integer normalization.  Harder
+domains (positive excess) get more weight, the DoReMi direction at
+temperature 1.
 
 Plan shape (the scale story): the LM pipeline is the composed
 cost; the audit joins its per-doc output to the (doc_id, source)
@@ -37,6 +46,34 @@ from pyspark.sql import functions as F
 from .weblm import LM_PERPLEXITY_SQL, lm_perplexity_frame
 
 MICRO = 1_000_000
+EXP_CLAMP = 10 * MICRO  # ±10 nats; see module docstring
+EXP_K = 40  # Taylor terms: remainder at ax=10 is ~1e41/41! ≈ 3e-9 rel
+
+
+def _exp_term_exprs(div: str) -> list[str]:
+    """The k = 1..K series-term expressions for the Spark column
+    chain (``t_k = t_{k-1}·ax div (k·1e6)``).  The DuckDB dual runs
+    the SAME recurrence as a recursive CTE (a 41-deep lateral-alias
+    chain exceeds DuckDB's binder recursion limit); the unit replay
+    test pins both to the reference Python fold (``exp_series``)."""
+    return [
+        f"(t{k - 1} * ax) {div} {k * MICRO}" for k in range(1, EXP_K + 1)
+    ]
+
+
+def exp_series(x: int) -> int:
+    """Reference Python fold of the frozen integer exp — the replay
+    oracle for both engines' implementations."""
+    ax = min(abs(max(min(x, EXP_CLAMP), -EXP_CLAMP)), EXP_CLAMP)
+    t = MICRO
+    s = MICRO
+    for k in range(1, EXP_K + 1):
+        t = (t * ax) // (k * MICRO)
+        s += t
+    return s if x >= 0 else (MICRO * MICRO) // s
+
+
+_EXP_SUM = " + ".join(f"t{k}" for k in range(0, EXP_K + 1))
 
 
 def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,17 +99,31 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(total_nll) div sum(total_tokens)")
         .cast("bigint").alias("g_mean")
     )
-    massed = per_source.crossJoin(F.broadcast(glob)).select(
+    staged = per_source.crossJoin(F.broadcast(glob)).select(
         "source",
         "n_docs",
         "total_tokens",
         "mean_nll_micro",
         F.expr("mean_nll_micro - g_mean").cast("bigint")
         .alias("excess_micro"),
+    ).withColumn(
+        "ax",
         F.expr(
-            f"cast(floor(exp((mean_nll_micro - g_mean) / 1e6) * {MICRO}"
-            f" + 0.5) as bigint)"
-        ).alias("e_micro"),
+            f"abs(greatest(least(excess_micro, {EXP_CLAMP}),"
+            f" -{EXP_CLAMP}))"
+        ).cast("bigint"),
+    ).withColumn("t0", F.lit(MICRO).cast("bigint"))
+    for k, term in enumerate(_exp_term_exprs("div"), start=1):
+        staged = staged.withColumn(f"t{k}", F.expr(term).cast("bigint"))
+    massed = staged.withColumn(
+        "e_micro",
+        F.expr(
+            f"case when excess_micro >= 0 then ({_EXP_SUM})"
+            f" else cast({MICRO * MICRO} as bigint) div ({_EXP_SUM}) end"
+        ).cast("bigint"),
+    ).select(
+        "source", "n_docs", "total_tokens", "mean_nll_micro",
+        "excess_micro", "e_micro",
     )
     total_mass = massed.agg(
         F.sum("e_micro").cast("bigint").alias("mass")
@@ -89,7 +140,7 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOREMI_SQL = f"""
-WITH scored AS (
+WITH RECURSIVE scored AS (
   SELECT p.doc_id, p.n_tokens, p.nll_micro, d.source
   FROM ({LM_PERPLEXITY_SQL}) p JOIN documents d USING (doc_id)
 ),
@@ -102,13 +153,28 @@ per_source AS (
 ),
 g AS (SELECT (sum(total_nll) // sum(total_tokens))::BIGINT AS g_mean
       FROM per_source),
-massed AS (
+massed0 AS (
   SELECT source, n_docs, total_tokens,
          (total_nll // total_tokens)::BIGINT AS mean_nll_micro,
          ((total_nll // total_tokens) - g_mean)::BIGINT AS excess_micro,
-         floor(exp(((total_nll // total_tokens) - g_mean) / 1e6)
-               * {MICRO} + 0.5)::BIGINT AS e_micro
+         abs(greatest(least((total_nll // total_tokens) - g_mean,
+                            {EXP_CLAMP}), -{EXP_CLAMP}))::BIGINT AS ax
   FROM per_source, g
+),
+ser AS (
+  SELECT source, ax, 0 AS k, {MICRO}::BIGINT AS t, {MICRO}::BIGINT AS s
+  FROM massed0
+  UNION ALL
+  SELECT source, ax, k + 1,
+         (t * ax) // ((k + 1) * {MICRO}),
+         s + (t * ax) // ((k + 1) * {MICRO})
+  FROM ser WHERE k < {EXP_K}
+),
+massed AS (
+  SELECT m.source, n_docs, total_tokens, mean_nll_micro, excess_micro,
+         (CASE WHEN excess_micro >= 0 THEN ser.s
+               ELSE {MICRO * MICRO} // ser.s END)::BIGINT AS e_micro
+  FROM massed0 m JOIN ser ON ser.source = m.source AND ser.k = {EXP_K}
 ),
 t AS (SELECT sum(e_micro)::BIGINT AS mass FROM massed)
 SELECT source, n_docs, total_tokens, mean_nll_micro, excess_micro,

@@ -39,10 +39,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash60, tokens
 from .webquality import (
-    GOPHER_ALPHA_FRAC, GOPHER_MAX_AVG_LEN, GOPHER_MAX_WORDS,
-    GOPHER_MIN_AVG_LEN, GOPHER_MIN_REQ_STOP, GOPHER_MIN_WORDS,
-    GOPHER_REQ_STOPWORDS, GOPHER_RULES_SQL, GOPHER_SYMBOL_FRAC,
-    QCLF_BUCKETS, QCLF_WEIGHTS, _BUCKET, _TOK, _W_LIST,
+    GOPHER_RULES_SQL, QCLF_BUCKETS, QCLF_WEIGHTS, _BUCKET, _TOK, _W_LIST,
+    gopher_flags,
 )
 
 THRESHOLDS = (-200_000, -100_000, 0, 100_000, 200_000)
@@ -63,27 +61,10 @@ def pr_curve_frame(docs: DataFrame) -> DataFrame:
             F.col("w"), (portable_hash60(t) % QCLF_BUCKETS).cast("int") + 1
         ),
     )
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint")
-    n_sym = F.size(
-        F.filter(toks, lambda t: t.startswith("#") | t.contains("..."))
-    ).cast("bigint")
-    n_stop = sum(
-        F.array_contains(toks, w).cast("int") for w in GOPHER_REQ_STOPWORDS
-    ).cast("bigint")
-    a_num, a_den = GOPHER_ALPHA_FRAC
-    s_num, s_den = GOPHER_SYMBOL_FRAC
-    label = (
-        (n_toks >= GOPHER_MIN_WORDS)
-        & (n_toks <= GOPHER_MAX_WORDS)
-        & (sum_len >= GOPHER_MIN_AVG_LEN * n_toks)
-        & (sum_len <= GOPHER_MAX_AVG_LEN * n_toks)
-        & (a_den * n_alpha >= a_num * n_toks)
-        & (s_den * n_sym <= s_num * n_toks)
-        & (n_stop >= GOPHER_MIN_REQ_STOP)
-    )
+    # the "truth" side is THE shared Gopher battery expression
+    # (webquality.gopher_flags) fused into the same projection — no
+    # inline re-implementation to go stale (round-4 advisor note)
+    label = gopher_flags(toks)["keep"]
     scored = staged.select(
         sum_w.alias("sum_w"), n_toks.alias("n_toks"), label.alias("label")
     )

@@ -81,17 +81,14 @@ def _round4(col: Column) -> Column:
 # Gopher quality rules
 # ---------------------------------------------------------------------------
 
-def gopher_rules_frame(docs: DataFrame) -> DataFrame:
-    """Append the Gopher §A1.1 rule flags to a frame carrying ``text``.
-
-    One projection, no exchange: every rule folds the staged token
-    array with codegen'd lambdas; bound checks are exact integer
-    cross-products, never float divisions.
-    """
-    staged = docs.select(
-        "doc_id", "text", tokens(F.col("text")).alias("toks")
-    )
-    toks = F.col("toks")
+def gopher_flags(toks) -> dict:
+    """Gopher §A1.1 metrics + rule flags as codegen Columns over a
+    staged token-array column — THE battery definition, shared by
+    ``gopher_rules_frame`` and the classifier audits (webcalib.py /
+    webpr.py fuse ``keep`` into their scan projections), so an edit
+    to the battery can never leave an inline copy stale (round-4
+    advisor note).  Bound checks are exact integer cross-products,
+    never float divisions."""
     n_words = F.size(toks).cast("bigint")
     sum_len = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
@@ -113,11 +110,37 @@ def gopher_rules_frame(docs: DataFrame) -> DataFrame:
     s_num, s_den = GOPHER_SYMBOL_FRAC
     r_sym = s_den * n_sym <= s_num * n_words
     r_stop = n_stop >= GOPHER_MIN_REQ_STOP
+    return {
+        "n_words": n_words,
+        "sum_len": sum_len,
+        "n_alpha": n_alpha,
+        "n_sym": n_sym,
+        "n_stop": n_stop,
+        "r_word_count": r_words,
+        "r_word_len": r_len,
+        "r_alpha": r_alpha,
+        "r_symbol": r_sym,
+        "r_stopwords": r_stop,
+        "keep": r_words & r_len & r_alpha & r_sym & r_stop,
+    }
+
+
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """Append the Gopher §A1.1 rule flags to a frame carrying ``text``.
+
+    One projection, no exchange: every rule folds the staged token
+    array with codegen'd lambdas (``gopher_flags``).
+    """
+    staged = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    g = gopher_flags(F.col("toks"))
+    n_words, sum_len, n_alpha = g["n_words"], g["sum_len"], g["n_alpha"]
 
     # empty documents: every reported ratio divides by n_words, and a
     # 0/0 is NULL in Spark but engine-dependent elsewhere — pin both
     # ratios to 0.0 so the row stays well-defined (the integer
-    # cross-product rules below never divide, so they need no guard)
+    # cross-product rules never divide, so they need no guard)
     safe4 = lambda c: F.when(n_words > 0, _round4(c)).otherwise(  # noqa: E731
         F.lit(0.0)
     )
@@ -126,13 +149,13 @@ def gopher_rules_frame(docs: DataFrame) -> DataFrame:
         n_words.alias("n_words"),
         safe4(sum_len / n_words).alias("mean_word_len"),
         safe4(n_alpha / n_words).alias("alpha_word_ratio"),
-        n_stop.alias("n_req_stopwords"),
-        r_words.alias("r_word_count"),
-        r_len.alias("r_word_len"),
-        r_alpha.alias("r_alpha"),
-        r_sym.alias("r_symbol"),
-        r_stop.alias("r_stopwords"),
-        (r_words & r_len & r_alpha & r_sym & r_stop).alias("keep"),
+        g["n_stop"].alias("n_req_stopwords"),
+        g["r_word_count"].alias("r_word_count"),
+        g["r_word_len"].alias("r_word_len"),
+        g["r_alpha"].alias("r_alpha"),
+        g["r_symbol"].alias("r_symbol"),
+        g["r_stopwords"].alias("r_stopwords"),
+        g["keep"].alias("keep"),
     )
 
 

@@ -9,8 +9,8 @@ import math
 import pandas as pd
 
 from paper2llm_spark.operators.mmdup import (
-    HAM_MAX, JITTER_EVERY, PLANT_OFFSET, SHOT_LEN, SHOT_THRESH,
-    pairs_from_hashes, plant_variants, shot_boundaries_frame,
+    HAM_MAX, JITTER_EVERY, SHOT_LEN, SHOT_THRESH,
+    pairs_from_hashes, plant_id, plant_variants, shot_boundaries_frame,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -31,7 +31,7 @@ def test_plant_mask_replay(spark):
     # doc 21: k = 1 flip at (21*13 + 17) % 56 = 10
     got = plant_variants(_hashes(spark, [(21, 0b1100)])).collect()
     assert len(got) == 1
-    assert got[0].doc_id == 21 + PLANT_OFFSET
+    assert got[0].doc_id == plant_id(21) == -22
     assert got[0].dhash56 == 0b1100 ^ (1 << 10)
     assert _mask(21) == 1 << 10
     # doc 28: k = 0 -> exact re-ingest
@@ -59,7 +59,8 @@ def test_planted_pairs_all_recovered(spark):
     planted = [int(d) for d in docs["doc_id"] if d % 7 == 0]
     assert planted
     for d in planted:
-        key = (d, d + PLANT_OFFSET)
+        # negative planted id sorts below its base -> (planted, base)
+        key = (plant_id(d), d)
         assert key in pairs, key
         assert pairs[key] == bin(_mask(d)).count("1")
     assert all(h <= HAM_MAX for h in pairs.values())

@@ -2143,19 +2143,25 @@ def test_index_bits_adds_no_exchange_over_postings(spark):
     assert "BroadcastExchange" in plan
 
 
-def test_calibration_fuses_signals_one_scan_no_join(spark):
+def test_calibration_distributed_ranking_no_global_sort(spark):
     """ml_calibration_bins: classifier score and Gopher label are both
-    pure functions of text, fused into ONE scan projection — no join
-    ever carries the label; the global ntile sort is the single
-    corpus-wide movement; zero Python."""
+    pure functions of text, fused into ONE scan projection; deciles
+    come from the shared distributed ranking (functions/ranking.py) —
+    NO ntile and no single-partition window over per-doc rows (the
+    round-4 plan audit's fix #2).  The only SinglePartition exchanges
+    are the collapsed-histogram cumsum and the 1-row total count;
+    zero Python.  (The scored-vs-rank doc_id join recomputes the scan
+    statically; AQE ReusedExchange dedups it at runtime.)"""
     from paper2llm_spark.operators.webcalib import calibration_bins
 
     plan = _physical(calibration_bins(spark, "/root/testdata/sf0.01"))
-    assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Exchange SinglePartition") == 1
-    # only one parquet scan feeds the whole query
-    assert plan.count("Scan parquet") == 1
+    assert "ntile" not in plan, plan
+    # corpus-sized row_number windows must be PARTITIONED by value
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "windowspecdefinition(v#" in line, line
+    assert plan.count("Exchange SinglePartition") == 2, plan
 
 
 def test_pack_efficiency_collapses_before_exchange(spark):
@@ -2331,20 +2337,30 @@ def test_ann_recall_joins_k_bounded_lists(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_rfm_single_user_collapse_props_pruned(spark):
-    """events_rfm_segments: one corpus exchange — the map-side
-    groupBy(user_id) rollup; ntile windows ride the |users| table;
-    props/event_type never read; zero Python."""
+def test_rfm_distributed_ranking_props_pruned(spark):
+    """events_rfm_segments: the map-side groupBy(user_id) rollup is the
+    one corpus-sized exchange (statically repeated per rank subtree;
+    AQE ReusedExchange dedups the identical rollup at runtime —
+    verified 10 ReusedExchange nodes in the final adaptive plan);
+    quintiles come from the shared distributed ranking — NO ntile, no
+    single-partition window over per-user rows (round-4 plan audit fix
+    #3); props/event_type never read; zero Python."""
     from paper2llm_spark.operators.webrfm import rfm_segments
 
     plan = _physical(rfm_segments(spark, "/root/testdata/sf0.01"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "ntile" not in plan, plan
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "windowspecdefinition(v#" in line, line
     for read_schema in plan.split("ReadSchema: ")[1:]:
         line = read_schema.splitlines()[0]
         assert "props" not in line and "event_type" not in line, line
-    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert len(ex) == 1 and "user_id" in ex[0], ex
+    # every hash exchange keys on user_id or a rank value column —
+    # per-user short rows, distributed
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "user_id" in l or "v#" in l, l
 
 
 def test_cer_zero_exchange_codegen_projection(spark):
@@ -2557,12 +2573,18 @@ def test_seasonal_naive_single_type_hour_collapse(spark):
 
 def test_rank_corr_short_row_windows_no_python(spark):
     """web_rank_correlation: the solvers do the graph work; the audit
-    ranks (node, bigint) short rows and collapses to 2 rows; zero
-    Python."""
+    ranks (node, bigint) short rows via the shared distributed ranking
+    — every row_number window PARTITIONED by value, never a global
+    node-table sort (round-4 plan audit fix #3) — and collapses to 2
+    rows; zero Python."""
     from paper2llm_spark.operators.webrankcorr import rank_correlation
 
     plan = _physical(rank_correlation(spark, "/root/testdata/sf0.01"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ntile" not in plan, plan
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "windowspecdefinition(v#" in line, line
 
 
 def test_shot_stats_composed_window_plus_short_join(spark):

@@ -7,7 +7,9 @@ import math
 
 import pandas as pd
 
-from paper2llm_spark.operators.webdoremi import MICRO, doremi_weights
+from paper2llm_spark.operators.webdoremi import (
+    EXP_CLAMP, EXP_K, MICRO, doremi_weights, exp_series,
+)
 from paper2llm_spark.operators.weblm import lm_perplexity
 
 SF = "/root/testdata/sf0.001"
@@ -25,8 +27,7 @@ def test_replay_from_lm_output_and_mixture_invariants(spark):
     g_mean = sum(v[2] for v in per.values()) \
         // sum(v[1] for v in per.values())
     masses = {
-        s: int(math.exp(((v[2] // v[1]) - g_mean) / 1e6) * MICRO + 0.5)
-        for s, v in per.items()
+        s: exp_series((v[2] // v[1]) - g_mean) for s, v in per.items()
     }
     total_mass = sum(masses.values())
     rows = {r.source: r for r in doremi_weights(spark, SF).collect()}
@@ -44,3 +45,18 @@ def test_replay_from_lm_output_and_mixture_invariants(spark):
     by_excess = sorted(rows.values(), key=lambda r: r.excess_micro)
     assert by_excess[-1].weight_micro > by_excess[0].weight_micro
     assert len({r.weight_micro for r in rows.values()}) > 1
+
+
+def test_exp_series_tracks_libm_and_clamps():
+    """The frozen integer series is a faithful exp (within truncation
+    loss) and saturates at ±EXP_CLAMP; EXP_K terms suffice at the
+    clamp boundary."""
+    for x in (-15 * MICRO, -5 * MICRO, -1, 0, 1, 123_456,
+              3 * MICRO, EXP_CLAMP, 15 * MICRO):
+        xc = max(min(x, EXP_CLAMP), -EXP_CLAMP)
+        want = math.exp(xc / MICRO) * MICRO
+        got = exp_series(x)
+        assert abs(got - want) <= max(2.0, want * 1e-4), (x, got, want)
+    assert exp_series(EXP_CLAMP) == exp_series(2 * EXP_CLAMP)
+    assert exp_series(-EXP_CLAMP) == exp_series(-3 * EXP_CLAMP)
+    assert EXP_K >= 40
