@@ -96,7 +96,12 @@ def calibration_bins_frame(docs: DataFrame) -> DataFrame:
     # (round-4 judge ask #2): exact rank under (key, doc_id) via the
     # shared broadcast-cumulative-histogram ranking, then the closed-form
     # ntile fill rule scan-side.  Bit-identical bins — the DuckDB dual
-    # keeps its ntile() and the hash stays green.
+    # keeps its ntile() and the hash stays green.  The 3-column scored
+    # table is materialized ONCE (lazy localCheckpoint): the histogram,
+    # count and join paths all scan the stored 17-byte rows instead of
+    # re-running the token-HOF scan per consumer — the "write the short
+    # table between stages" discipline a production run follows anyway.
+    scored = scored.localCheckpoint(eager=False)
     ranked = dist_rank(scored.select("doc_id", F.col("key").alias("v")), "rk")
     total = scored.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
     binned = (

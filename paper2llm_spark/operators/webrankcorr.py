@@ -49,7 +49,10 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = synth_edges(nodes, n_nodes).localCheckpoint()
     pr = pagerank_frame(nodes, edges)
     ht = hits_frame(nodes, edges)
-    joined = pr.join(ht, "doc_id")
+    # materialize the per-node score table ONCE (lazy localCheckpoint):
+    # the three rank paths would otherwise re-run BOTH iterative
+    # solvers per consumer
+    joined = pr.join(ht, "doc_id").localCheckpoint(eager=False)
 
     # ranks via the shared distributed exact ranking (round-4 judge ask
     # #3: this operator IS Spearman and now reuses webspearman's
@@ -60,10 +63,12 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.select("doc_id", (-F.col(col)).alias("v")), name
         )
 
+    # both output rows aggregate the same rank table — store it once
     r = (
         ranked("rank_micro", "r_pr")
         .join(ranked("auth_micro", "r_auth"), "doc_id")
         .join(ranked("hub_micro", "r_hub"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     pairs = []
     for name, col in (("pr_vs_auth", "r_auth"), ("pr_vs_hub", "r_hub")):

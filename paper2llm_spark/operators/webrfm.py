@@ -44,7 +44,9 @@ from ..functions.ranking import dist_rank, ntile_expr
 N_TILES = 5
 
 
-def rfm_segments_frame(events: DataFrame) -> DataFrame:
+def rfm_rollup_frame(events: DataFrame) -> DataFrame:
+    """events -> one (user_id, recency_days, frequency, monetary_cents)
+    row per user — the single corpus-sized exchange."""
     per_user = events.select(
         "user_id",
         "ts",
@@ -55,7 +57,7 @@ def rfm_segments_frame(events: DataFrame) -> DataFrame:
         F.sum("cents").cast("bigint").alias("monetary_cents"),
     )
     horizon = events.agg(F.max("ts").alias("max_ts"))
-    rolled = per_user.crossJoin(F.broadcast(horizon)).select(
+    return per_user.crossJoin(F.broadcast(horizon)).select(
         "user_id",
         F.expr("datediff(cast(max_ts as date), cast(last_ts as date))")
         .cast("bigint")
@@ -63,6 +65,9 @@ def rfm_segments_frame(events: DataFrame) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
+
+
+def rfm_scores_frame(rolled: DataFrame) -> DataFrame:
     # quintile scores WITHOUT the three global single-partition ntile
     # sorts (round-4 judge ask #3): exact ranks via the shared
     # broadcast-cumulative-histogram ranking (DESC orderings rank the
@@ -101,11 +106,22 @@ def rfm_segments_frame(events: DataFrame) -> DataFrame:
     )
 
 
+def rfm_segments_frame(events: DataFrame) -> DataFrame:
+    return rfm_scores_frame(rfm_rollup_frame(events))
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return rfm_segments_frame(events)
+    # materialize the 4-bigint rollup ONCE (lazy localCheckpoint, the
+    # mmdup/webrankcorr discipline): the three rank paths + the final
+    # join all scan the same stored table instead of re-deriving the
+    # corpus rollup per consumer — "write the short table between
+    # stages", exactly what a production run does at 10^9 users
+    return rfm_scores_frame(
+        rfm_rollup_frame(events).localCheckpoint(eager=False)
+    )
 
 
 RFM_SQL = f"""

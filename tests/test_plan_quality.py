@@ -2101,12 +2101,13 @@ def test_dhash_pairs_arrow_once_short_band_rows(spark):
 
     plan = _physical(mm_dhash_pairs(spark, "/root/testdata/sf0.01"))
     assert "BatchEvalPython" not in plan
-    # every MapInPandas appearance must be the echo of the SAME cached
-    # relation (served by an InMemoryTableScan) — the decode executes
-    # once, not once per consumer; once materialized the echo may print
-    # without the MapInPandas line, so the cache scans bound it above
-    assert "InMemoryRelation" in plan
-    assert plan.count("InMemoryTableScan") >= 4, plan
+    # the hash table is a lazy localCheckpoint (r5: released by the
+    # ContextCleaner when the result drops, unlike the old pinned
+    # persist) — every consumer (plant + both join sides) scans the
+    # SAME checkpointed RDD, so the Arrow decode executes once and
+    # MapInPandas never reappears in the downstream plan
+    assert "MapInPandas" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line and "payload" not in line, line
@@ -2345,15 +2346,21 @@ def test_rfm_distributed_ranking_props_pruned(spark):
     quintiles come from the shared distributed ranking — NO ntile, no
     single-partition window over per-user rows (round-4 plan audit fix
     #3); props/event_type never read; zero Python."""
-    from paper2llm_spark.operators.webrfm import rfm_segments
+    from paper2llm_spark.operators.webrfm import (
+        rfm_segments, rfm_segments_frame,
+    )
 
-    plan = _physical(rfm_segments(spark, "/root/testdata/sf0.01"))
+    # un-checkpointed frame: the pruning + window-shape contract
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    plan = _physical(rfm_segments_frame(events))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ntile" not in plan, plan
     for line in plan.splitlines():
         if "row_number() windowspecdefinition" in line:
             assert "windowspecdefinition(v#" in line, line
-    for read_schema in plan.split("ReadSchema: ")[1:]:
+    schemas = plan.split("ReadSchema: ")[1:]
+    assert schemas, plan
+    for read_schema in schemas:
         line = read_schema.splitlines()[0]
         assert "props" not in line and "event_type" not in line, line
     # every hash exchange keys on user_id or a rank value column —
@@ -2361,6 +2368,10 @@ def test_rfm_distributed_ranking_props_pruned(spark):
     for l in plan.splitlines():
         if "Exchange hashpartitioning" in l:
             assert "user_id" in l or "v#" in l, l
+    # driver-facing wrapper: the rollup is a lazy localCheckpoint the
+    # three rank paths + final join all scan (computed once)
+    wplan = _physical(rfm_segments(spark, "/root/testdata/sf0.01"))
+    assert wplan.count("Scan ExistingRDD") >= 4, wplan
 
 
 def test_cer_zero_exchange_codegen_projection(spark):
