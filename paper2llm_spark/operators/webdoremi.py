@@ -50,15 +50,22 @@ EXP_CLAMP = 10 * MICRO  # ±10 nats; see module docstring
 EXP_K = 40  # Taylor terms: remainder at ax=10 is ~1e41/41! ≈ 3e-9 rel
 
 
-def _exp_term_exprs(div: str) -> list[str]:
-    """The k = 1..K series-term expressions for the Spark column
-    chain (``t_k = t_{k-1}·ax div (k·1e6)``).  The DuckDB dual runs
-    the SAME recurrence as a recursive CTE (a 41-deep lateral-alias
-    chain exceeds DuckDB's binder recursion limit); the unit replay
-    test pins both to the reference Python fold (``exp_series``)."""
-    return [
-        f"(t{k - 1} * ax) {div} {k * MICRO}" for k in range(1, EXP_K + 1)
-    ]
+# Spark evaluates the recurrence t_k = t_{k-1}·ax div (k·1e6) as ONE
+# aggregate-HOF fold (~20 expression-tree nodes — the simhash/r2
+# expression-tree discipline; an unrolled 41-column chain measurably
+# taxed Catalyst analysis).  The DuckDB dual runs the SAME recurrence
+# as a recursive CTE (a 41-deep lateral-alias chain exceeds its binder
+# recursion limit); the unit replay test pins both to the reference
+# Python fold (``exp_series``).
+_EXP_FOLD = (
+    f"aggregate(sequence(1, {EXP_K}),"
+    f" named_struct('t', cast({MICRO} as bigint),"
+    f"              's', cast({MICRO} as bigint)),"
+    f" (acc, k) -> named_struct("
+    f"   't', acc.t * ax div (cast(k as bigint) * {MICRO}),"
+    f"   's', acc.s + acc.t * ax div (cast(k as bigint) * {MICRO})),"
+    f" acc -> acc.s)"
+)
 
 
 def exp_series(x: int) -> int:
@@ -71,9 +78,6 @@ def exp_series(x: int) -> int:
         t = (t * ax) // (k * MICRO)
         s += t
     return s if x >= 0 else (MICRO * MICRO) // s
-
-
-_EXP_SUM = " + ".join(f"t{k}" for k in range(0, EXP_K + 1))
 
 
 def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,14 +116,12 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"abs(greatest(least(excess_micro, {EXP_CLAMP}),"
             f" -{EXP_CLAMP}))"
         ).cast("bigint"),
-    ).withColumn("t0", F.lit(MICRO).cast("bigint"))
-    for k, term in enumerate(_exp_term_exprs("div"), start=1):
-        staged = staged.withColumn(f"t{k}", F.expr(term).cast("bigint"))
+    ).withColumn("s_pos", F.expr(_EXP_FOLD).cast("bigint"))
     massed = staged.withColumn(
         "e_micro",
         F.expr(
-            f"case when excess_micro >= 0 then ({_EXP_SUM})"
-            f" else cast({MICRO * MICRO} as bigint) div ({_EXP_SUM}) end"
+            f"case when excess_micro >= 0 then s_pos"
+            f" else cast({MICRO * MICRO} as bigint) div s_pos end"
         ).cast("bigint"),
     ).select(
         "source", "n_docs", "total_tokens", "mean_nll_micro",
