@@ -315,27 +315,27 @@ def _hits_sql() -> str:
         f"""n AS (SELECT count(*) AS n FROM documents),
 e0 AS (SELECT doc_id AS src, ({h}) % n.n AS dst
        FROM documents, n, (VALUES {ks}) t(k)),
-e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
 h0 AS (SELECT doc_id, {HITS_SCALE}::BIGINT AS hub FROM documents)"""
     ]
     for i in range(1, HITS_ITERS + 1):
         p = i - 1
         ctes.append(
-            f"""ar{i} AS (SELECT d.doc_id,
+            f"""ar{i} AS MATERIALIZED (SELECT d.doc_id,
                    coalesce((SELECT sum(h.hub) FROM e
                              JOIN h{p} h ON h.doc_id = e.src
                              WHERE e.dst = d.doc_id), 0)::BIGINT AS s
             FROM documents d),
-a{i} AS (SELECT doc_id,
+a{i} AS MATERIALIZED (SELECT doc_id,
                 ((s * {HITS_SCALE})
                  // greatest((SELECT max(s) FROM ar{i}), 1))::BIGINT AS auth
          FROM ar{i}),
-hr{i} AS (SELECT d.doc_id,
+hr{i} AS MATERIALIZED (SELECT d.doc_id,
                  coalesce((SELECT sum(a.auth) FROM e
                            JOIN a{i} a ON a.doc_id = e.dst
                            WHERE e.src = d.doc_id), 0)::BIGINT AS s
           FROM documents d),
-h{i} AS (SELECT doc_id,
+h{i} AS MATERIALIZED (SELECT doc_id,
                 ((s * {HITS_SCALE})
                  // greatest((SELECT max(s) FROM hr{i}), 1))::BIGINT AS hub
          FROM hr{i})"""

@@ -95,14 +95,14 @@ def _kcenter_sql() -> str:
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         "s1 AS (SELECT vec_id, v FROM e"
         " WHERE vec_id = (SELECT min(vec_id) FROM e))",
-        f"m1 AS (SELECT e.vec_id, e.v,"
+        f"m1 AS MATERIALIZED (SELECT e.vec_id, e.v,"
         f" round({_sql_dist('e.v', 's1.v')}, 4) AS md FROM e, s1)",
     ]
     outs = ["SELECT 1::BIGINT AS rank, vec_id, 0.0::DOUBLE AS mindist4 FROM s1"]
     for r in range(2, K_CENTERS + 1):
         p = r - 1
         ctes.append(
-            f"s{r} AS (SELECT vec_id, v, md FROM m{p}"
+            f"s{r} AS MATERIALIZED (SELECT vec_id, v, md FROM m{p}"
             f" ORDER BY md DESC, vec_id LIMIT 1)"
         )
         outs.append(
@@ -110,7 +110,7 @@ def _kcenter_sql() -> str:
         )
         if r < K_CENTERS:
             ctes.append(
-                f"m{r} AS (SELECT m.vec_id, m.v,"
+                f"m{r} AS MATERIALIZED (SELECT m.vec_id, m.v,"
                 f" least(m.md, round({_sql_dist('m.v', f's{r}.v')}, 4)) AS md"
                 f" FROM m{p} m, s{r})"
             )

@@ -96,10 +96,11 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANK_CORR_SQL = f"""
 WITH pr AS (SELECT doc_id, rank_micro FROM ({PAGERANK_SQL})),
-ht AS (SELECT doc_id, hub_micro, auth_micro FROM ({HITS_SQL})),
+ht AS MATERIALIZED (SELECT doc_id, hub_micro, auth_micro
+                    FROM ({HITS_SQL})),
 joined AS (SELECT pr.doc_id, pr.rank_micro, ht.hub_micro, ht.auth_micro
            FROM pr JOIN ht USING (doc_id)),
-r AS (
+r AS MATERIALIZED (
   SELECT doc_id,
          row_number() OVER (ORDER BY rank_micro DESC, doc_id)::BIGINT
            AS r_pr,
